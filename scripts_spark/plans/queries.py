@@ -1,0 +1,758 @@
+"""Query registry: every SURVEY.md §2 operator family demonstrated as
+a (PySpark DataFrame builder, DuckDB oracle SQL) pair over the
+driver-provided testdata tables.
+
+Parity rules that keep the value-hash compare exact across engines:
+- counts/sums are BIGINT (Spark longs; DuckDB casts where needed);
+- money is integer cents via round(x*100) (IEEE-identical per row,
+  then an exact long sum — no float-sum-order hazards);
+- every LIMIT/row_number has a total deterministic ORDER BY;
+- doubles in outputs only ever come from dividing two exact integers.
+
+SURVEY §2 operator ids noted per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+# ---------------------------------------------------------------- A2
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+           SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (SURVEY A2): hash agg with partial combine."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("sum_disc_cents"),
+    )
+
+
+# ---------------------------------------------------------------- A1
+@q(
+    "wordfreq",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 100
+    """,
+)
+def wordfreq(spark, sf_dir):
+    """Word-frequency hash agg (mk-wf-dict.py:16-42 semantics)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------- A2/A12
+@q(
+    "doc_stats",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def doc_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+# ------------------------------------------------- quality rules (§7)
+@q(
+    "quality_filter",
+    """
+    SELECT doc_id, n_tokens, n_distinct,
+           (n_chars >= 200 AND n_distinct*10 >= n_tokens*3) AS keep
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS n_distinct
+      FROM documents)
+    """,
+)
+def quality_filter(spark, sf_dir):
+    """Min-length + repetition-ratio keep/drop, integer-exact."""
+    d = T(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (
+            (F.col("n_chars") >= 200)
+            & (F.size(F.array_distinct(toks)).cast("long") * 10 >= F.size(toks).cast("long") * 3)
+        ).alias("keep"),
+    )
+
+
+# ------------------------------------------------------- langid lite
+_SV_WORDS = ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "till", "den", "inte", "om"]
+_EN_WORDS = ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "on", "are", "with", "as"]
+_SV_LIT = "[" + ", ".join(f"'{w}'" for w in _SV_WORDS) + "]"
+_EN_LIT = "[" + ", ".join(f"'{w}'" for w in _EN_WORDS) + "]"
+
+
+@q(
+    "lang_mismatch",
+    f"""
+    SELECT doc_id, lang, sv_hits, en_hits,
+           CASE WHEN sv_hits > en_hits THEN 'sv'
+                WHEN en_hits > sv_hits THEN 'en' ELSE 'unknown' END AS lang_pred,
+           ((CASE WHEN sv_hits > en_hits THEN 'sv'
+                  WHEN en_hits > sv_hits THEN 'en' ELSE 'unknown' END) <> lang) AS mismatch
+    FROM (
+      SELECT doc_id, lang,
+        CAST(len(list_intersect(list_distinct(string_split(text,' ')), {_SV_LIT})) AS BIGINT) AS sv_hits,
+        CAST(len(list_intersect(list_distinct(string_split(text,' ')), {_EN_LIT})) AS BIGINT) AS en_hits
+      FROM documents)
+    """,
+)
+def lang_mismatch(spark, sf_dir):
+    """Stopword-overlap language id vs the crawler's claimed tag (M1-lite)."""
+    d = T(spark, sf_dir, "documents")
+    sv = F.array(*[F.lit(w) for w in _SV_WORDS])
+    en = F.array(*[F.lit(w) for w in _EN_WORDS])
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_intersect(toks, sv)).cast("long").alias("sv_hits"),
+        F.size(F.array_intersect(toks, en)).cast("long").alias("en_hits"),
+    )
+    pred = (
+        F.when(F.col("sv_hits") > F.col("en_hits"), F.lit("sv"))
+        .when(F.col("en_hits") > F.col("sv_hits"), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.withColumn("lang_pred", pred).withColumn(
+        "mismatch", F.col("lang_pred") != F.col("lang")
+    )
+
+
+# ------------------------------------------------------ dedup family
+@q(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@q(
+    "dedup_unique_only",
+    """
+    SELECT doc_id FROM documents
+    WHERE md5(text) IN (SELECT md5(text) FROM documents GROUP BY md5(text) HAVING COUNT(*) = 1)
+    """,
+)
+def dedup_unique_only(spark, sf_dir):
+    """pandas drop_duplicates(keep=False) semantics (SURVEY A7)."""
+    d = T(spark, sf_dir, "documents").withColumn("text_hash", F.md5("text"))
+    uniq = d.groupBy("text_hash").count().filter(F.col("count") == 1).select("text_hash")
+    return d.join(uniq, "text_hash", "left_semi").select("doc_id")
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents)
+      CROSS JOIN UNNEST(generate_series(1, greatest(len(t)-2, 0))) AS s(i)
+"""
+
+
+@q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0|' || shingle)) AS m0, MIN(md5('1|' || shingle)) AS m1,
+             MIN(md5('2|' || shingle)) AS m2, MIN(md5('3|' || shingle)) AS m3,
+             MIN(md5('4|' || shingle)) AS m4, MIN(md5('5|' || shingle)) AS m5,
+             MIN(md5('6|' || shingle)) AS m6, MIN(md5('7|' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || m1) AS key FROM sig UNION ALL
+      SELECT doc_id, 1 AS band, md5(m2 || m3) AS key FROM sig UNION ALL
+      SELECT doc_id, 2 AS band, md5(m4 || m5) AS key FROM sig UNION ALL
+      SELECT doc_id, 3 AS band, md5(m6 || m7) AS key FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 8 portable md5-string
+    minhashes → 4 bands of 2 → band-bucket self-join (SURVEY extras).
+    md5-as-string min keeps the hash family identical across engines."""
+    d = T(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_common, sa.sz AS size_a, sb.sz AS size_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 8
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """3-gram Jaccard near-dup join, threshold 0.8 (integer compare)."""
+    d = T(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .filter(
+            F.col("n_common") * 10
+            >= (F.col("size_a") + F.col("size_b") - F.col("n_common")) * 8
+        )
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+    )
+
+
+# -------------------------------------------------- similarity (ANN)
+@q(
+    "ann_topk",
+    """
+    WITH q AS (
+      SELECT i, qv FROM (SELECT unnest(embedding) AS qv,
+                                generate_subscripts(embedding,1) AS i
+                         FROM embeddings WHERE vec_id = 0)),
+    e AS (
+      SELECT vec_id, unnest(embedding) AS ev,
+             generate_subscripts(embedding,1) AS i
+      FROM embeddings)
+    SELECT e.vec_id,
+           SUM(CAST(round(ev*1000) AS BIGINT) * CAST(round(qv*1000) AS BIGINT)) AS dot_milli
+    FROM e JOIN q USING (i)
+    GROUP BY e.vec_id
+    ORDER BY dot_milli DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force top-k by quantized dot product vs vec 0 — the exact
+    baseline for ANN; integer milli-quantization makes the score an
+    exact long in both engines."""
+    e = T(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("i0", "ev")).withColumn(
+        "i", F.col("i0") + 1
+    )
+    qx = qrow.select(F.posexplode("embedding").alias("i0", "qv")).withColumn(
+        "i", F.col("i0") + 1
+    )
+    return (
+        ex.join(qx.select("i", "qv"), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.round(F.col("ev") * 1000).cast("long")
+                * F.round(F.col("qv") * 1000).cast("long")
+            ).alias("dot_milli")
+        )
+        .orderBy(F.desc("dot_milli"), "vec_id")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------ windows (W*)
+@q(
+    "top_events_per_user",
+    """
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def top_events_per_user(spark, sf_dir):
+    """Top-k per stratum (SURVEY W14)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (SURVEY W1/W5): running sum of
+    session-break flags over the per-user ordered window."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; cast for unix_micros (session TZ=UTC)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(gap_us > 7200000000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+    )
+
+
+@q(
+    "running_cursor",
+    """
+    SELECT event_id, user_id,
+           max(CASE WHEN event_type = 'error' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             AS last_error_ts
+    FROM events
+    """,
+)
+def running_cursor(spark, sf_dir):
+    """Running page-cursor pattern (SURVEY W12): last marker row at or
+    before the current row, per document/user."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w).alias("last_error_ts"),
+    )
+
+
+@q(
+    "lead_pairing",
+    """
+    SELECT event_id, user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+    FROM events
+    """,
+)
+def lead_pairing(spark, sf_dir):
+    """Intro→next-element pairing (SURVEY W6) as lead() over doc order."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@q(
+    "tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_window(spark, sf_dir):
+    """Tumbling time-window agg — the batch shape of the streaming job."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )
+
+
+@q(
+    "json_extract",
+    """
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON source kernel (SURVEY S5)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    )
+
+
+# -------------------------------------------------------- joins (J*)
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """Broadcast hash equi-join chain (SURVEY J1) — small dims broadcast."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )
+
+
+@q(
+    "customers_no_orders",
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def customers_no_orders(spark, sf_dir):
+    """Anti-join (SURVEY J6)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "parts_semi",
+    "SELECT DISTINCT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)",
+)
+def parts_semi(spark, sf_dir):
+    """Left-semi id join (SURVEY J7)."""
+    p = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey")
+
+
+@q(
+    "multival_arbitration",
+    """
+    SELECT o_custkey AS c_custkey,
+           CASE WHEN COUNT(DISTINCT o_orderpriority) > 1 THEN 'Multival'
+                ELSE MIN(o_orderpriority) END AS priority
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def multival_arbitration(spark, sf_dir):
+    """Multi-match arbitration (SURVEY J8, add-catalog-dob.py:10-17)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.when(F.count_distinct("o_orderpriority") > 1, F.lit("Multival"))
+        .otherwise(F.min("o_orderpriority"))
+        .alias("priority")
+    )
+
+
+@q(
+    "interval_tier_join",
+    """
+    SELECT e.event_id, t.tier
+    FROM events e
+    JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 15.0, 'mid'), (15.0, 1e9, 'high'))
+         AS t(lo, hi, tier)
+      ON e.value >= t.lo AND e.value < t.hi
+    """,
+)
+def interval_tier_join(spark, sf_dir):
+    """Interval (range) join against a broadcast dimension (SURVEY J2)."""
+    ev = T(spark, sf_dir, "events")
+    tiers = ev.sparkSession.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")],
+        "lo double, hi double, tier string",
+    )
+    return ev.join(
+        F.broadcast(tiers), (ev.value >= tiers.lo) & (ev.value < tiers.hi)
+    ).select("event_id", "tier")
+
+
+# ------------------------------------------------- aggregates / misc
+@q(
+    "mode_event_type",
+    """
+    SELECT user_id, event_type AS modal_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type) WHERE rn = 1
+    """,
+)
+def mode_event_type(spark, sf_dir):
+    """Mode with deterministic tie-break (SURVEY A6/J5)."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+
+
+@q(
+    "year_rollup",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def year_rollup(spark, sf_dir):
+    """Per-year grouped sums (SURVEY A2/A4 decade-rollup shape)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@q(
+    "first_last_order",
+    """
+    SELECT o_custkey, MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def first_last_order(spark, sf_dir):
+    """First/last-value extraction (SURVEY W9/W10)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@q(
+    "stratified_sample",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 5
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Per-stratum fixed-n deterministic sample (SURVEY R2): ordering by
+    a content hash replaces rand(seed) portably."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+    )
+
+
+@q(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+           n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting / quality scoring base stats (text analysis)."""
+    d = T(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("n_chars"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).cast(
+            "long"
+        ).alias("n_spaces"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(array_to_string(list_filter(string_split(text,' '), t -> t <> ''), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting over the normalized token stream."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.array_join(_tokens(F.col("text")), " ")).alias("fingerprint")
+    )
+
+
+@q(
+    "kwic",
+    """
+    SELECT doc_id, m AS match, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]*agg[a-z]*')) AS m FROM documents)
+    GROUP BY doc_id, m
+    """,
+)
+def kwic(spark, sf_dir):
+    """KWIC match exploder (SURVEY §2.7 KWIC kernel)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("[a-z]*agg[a-z]*"), F.lit(0))).alias(
+                "match"
+            ),
+        )
+        .groupBy("doc_id", "match")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
