@@ -1,0 +1,97 @@
+"""Thin IO/catalog layer: checkpointed, resumable writes.
+
+Iceberg is the production target (snapshot commits, metadata pruning);
+this sandbox has no Iceberg jar, so the same contract is implemented
+as parquet-per-bucket plus a manifest table (SURVEY.md §7.3 "Iceberg in
+sandbox"). The job-facing API is identical in both modes:
+
+    remaining = anti_join(input, manifest)      # resume
+    write_bucket(...); append_manifest(bucket)  # commit unit
+
+A killed run resumes from the last committed bucket; reruns are
+idempotent because outputs are deterministic (content-hash ids, seeded
+everything) — proven by tests/test_resume.py.
+
+The reference's analog is download/convert caching + skip-if-exists
+(/root/reference/src/add_modern_pagenumbers.py:57-74) and the
+"one year at a time" advice; here it is a first-class engine feature.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST_SCHEMA = "bucket long, n_rows long, n_kept long"
+
+
+def manifest_path(base: str) -> str:
+    return os.path.join(base, "_manifest")
+
+
+def read_manifest(spark: SparkSession, base: str) -> DataFrame:
+    p = manifest_path(base)
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, base: str) -> set[int]:
+    return {r["bucket"] for r in read_manifest(spark, base).collect()}
+
+
+def remaining_buckets(decisions: DataFrame, base: str) -> DataFrame:
+    """Resume = anti-join against the committed-bucket manifest."""
+    m = read_manifest(decisions.sparkSession, base).select("bucket")
+    return decisions.join(F.broadcast(m), "bucket", "left_anti")
+
+
+def commit_buckets(decisions: DataFrame, base: str) -> dict[str, int]:
+    """Write all not-yet-committed buckets: data partitioned by bucket,
+    then one manifest row per bucket with its metrics. The manifest
+    append is the commit point (crash before it ⇒ bucket rewritten on
+    resume; outputs are deterministic so the rewrite is identical)."""
+    # persist the delta: the data write, per-bucket metrics, and the
+    # manifest commit are three actions — without a checkpoint the full
+    # upstream plan (repair + boilerplate + langid + ppx) would run 3x
+    todo = remaining_buckets(decisions, base).persist()
+    try:
+        todo.write.mode("append").partitionBy("bucket").parquet(os.path.join(base, "data"))
+        metrics = todo.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        rows = metrics.collect()
+        if rows:
+            decisions.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(manifest_path(base))
+        return {"committed_buckets": len(rows), "rows": sum(r["n_rows"] for r in rows)}
+    finally:
+        todo.unpersist()
+
+
+def read_output(spark: SparkSession, base: str) -> DataFrame:
+    out = spark.read.parquet(os.path.join(base, "data"))
+    # only rows whose bucket commit completed
+    return out.join(
+        F.broadcast(read_manifest(spark, base).select("bucket")), "bucket", "left_semi"
+    )
+
+
+def partition_metrics(decisions: DataFrame) -> DataFrame:
+    """Per-partition (bucket) metrics: row counts, keep counts, and one
+    column per filter reason — the per-partition visibility the north
+    rule asks for (and the reference's per-year dashboards provide)."""
+    reasons = ["min_length", "repetition", "word_length", "digit_ratio",
+               "caps_ratio", "boilerplate", "lang", "perplexity"]
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    ] + [
+        F.sum(F.array_contains("filter_reasons", r).cast("long")).alias(f"n_{r}")
+        for r in reasons
+    ]
+    return decisions.groupBy("bucket").agg(*aggs)

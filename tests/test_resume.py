@@ -1,0 +1,71 @@
+"""Checkpoint/resume + metrics: kill-and-rerun must produce output
+identical to a single clean run (north rule resumability)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scripts_spark.plans.pipeline import CurateConfig, curate
+from scripts_spark.sources import catalog
+from scripts_spark.sources.pages import pages_df
+
+CFG = CurateConfig(num_buckets=8)
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _decisions(spark):
+    return curate(pages_df(spark, 300, partitions=4), CFG)
+
+
+def test_resume_after_partial_commit(spark, outdir):
+    dec = _decisions(spark)
+
+    # simulate a crashed run: only buckets 0-3 committed
+    partial = dec.filter(F.col("bucket") < 4)
+    catalog.commit_buckets(partial, outdir)
+    assert catalog.completed_buckets(spark, outdir) == {0, 1, 2, 3}
+
+    # resume: recompute, anti-join manifest, commit the rest
+    stats = catalog.commit_buckets(_decisions(spark), outdir)
+    assert stats["committed_buckets"] == 4  # only the missing buckets
+
+    # full clean run for comparison
+    clean = tempfile.mkdtemp()
+    try:
+        catalog.commit_buckets(_decisions(spark), clean)
+        got = {
+            (r["url"], r["doc_id"], r["keep"])
+            for r in catalog.read_output(spark, outdir).collect()
+        }
+        want = {
+            (r["url"], r["doc_id"], r["keep"])
+            for r in catalog.read_output(spark, clean).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(clean, ignore_errors=True)
+
+
+def test_recommit_is_noop(spark, outdir):
+    catalog.commit_buckets(_decisions(spark), outdir)
+    stats = catalog.commit_buckets(_decisions(spark), outdir)
+    assert stats["committed_buckets"] == 0 and stats["rows"] == 0
+
+
+def test_partition_metrics(spark):
+    dec = _decisions(spark)
+    m = catalog.partition_metrics(dec).collect()
+    assert {r["bucket"] for r in m} <= set(range(8))
+    total = sum(r["n_rows"] for r in m)
+    assert total == dec.count()
+    assert sum(r["n_lang"] for r in m) > 0  # reason metrics populated
