@@ -1,0 +1,202 @@
+"""Window operators (SURVEY W1–W14) vs straight-line Python oracles
+over the synthetic segments fixture."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from scripts_spark.operators import windows as W
+from scripts_spark.sources import segments as seg_src
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def seg_rows():
+    return seg_src.gen_docs(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def segs(spark):
+    return seg_src.segments_df(spark, N_DOCS)
+
+
+def _by_doc(rows):
+    key = lambda r: r["url"]
+    return {
+        url: sorted(g, key=lambda r: r["pos"])
+        for url, g in itertools.groupby(sorted(rows, key=key), key)
+    }
+
+
+def _is_break(r):
+    t = (r["text"] or "").lstrip()
+    return "§" in t[:4]
+
+
+def test_sessionize_sections(spark, segs, seg_rows):
+    got = {
+        (r["url"], r["pos"]): r["section_id"]
+        for r in W.sessionize_sections(segs, W.section_break_expr()).collect()
+    }
+    for url, rows in _by_doc(seg_rows).items():
+        sid = 0
+        for r in rows:
+            if _is_break(r):
+                sid += 1
+            assert got[(url, r["pos"])] == sid, (url, r["pos"])
+
+
+def test_type_sections(spark, segs, seg_rows):
+    df = W.type_sections(W.sessionize_sections(segs, W.section_break_expr()))
+    got = {(r["url"], r["pos"]): r["section_type"] for r in df.collect()}
+    for url, rows in _by_doc(seg_rows).items():
+        sid = 0
+        sections: dict[int, list] = {}
+        for r in rows:
+            if _is_break(r):
+                sid += 1
+            sections.setdefault(sid, []).append(r)
+        for sid, rs in sections.items():
+            has_speaker = any(
+                r["elem_type"] == "note" and r["type_attr"] == "speaker" for r in rs
+            )
+            want = "debateSection" if has_speaker else "commentSection"
+            for r in rs:
+                assert got[(url, r["pos"])] == want
+
+
+def test_demote_pre_intro(spark, segs, seg_rows):
+    df = W.demote_pre_intro(W.sessionize_sections(segs, W.section_break_expr()))
+    got = {(r["url"], r["pos"]): r["elem_type"] for r in df.collect()}
+    for url, rows in _by_doc(seg_rows).items():
+        sid = 0
+        first_intro: dict[int, int] = {}
+        sid_of: dict[int, int] = {}
+        for r in rows:
+            if _is_break(r):
+                sid += 1
+            sid_of[r["pos"]] = sid
+            if (
+                r["elem_type"] == "note"
+                and r["type_attr"] == "speaker"
+                and sid not in first_intro
+            ):
+                first_intro[sid] = r["pos"]
+        for r in rows:
+            want = r["elem_type"]
+            if want == "u":
+                fi = first_intro.get(sid_of[r["pos"]])
+                if fi is None or r["pos"] < fi:
+                    want = "note"
+            assert got[(url, r["pos"])] == want
+
+
+def test_merge_consecutive(spark, segs, seg_rows):
+    df = W.merge_consecutive(segs, "u")
+    got = sorted(
+        (r["url"], r["pos"], r["text"], r["n_merged"])
+        for r in df.filter(F.col("elem_type") == "u").collect()
+    )
+    want = []
+    for url, rows in _by_doc(seg_rows).items():
+        for is_u, grp in itertools.groupby(rows, key=lambda r: r["elem_type"] == "u"):
+            grp = list(grp)
+            if is_u:
+                want.append(
+                    (url, grp[0]["pos"], " ".join(r["text"] for r in grp), len(grp))
+                )
+    assert got == sorted(want)
+    # non-u rows pass through unchanged
+    n_other = sum(1 for r in seg_rows if r["elem_type"] != "u")
+    assert df.filter(F.col("elem_type") != "u").count() == n_other
+
+
+def test_running_page_cursor(spark, segs, seg_rows):
+    got = {(r["url"], r["pos"]): r["page"] for r in W.running_page_cursor(segs).collect()}
+    for url, rows in _by_doc(seg_rows).items():
+        page = None
+        for r in rows:
+            if r["elem_type"] == "pb":
+                page = r["facs"]
+            assert got[(url, r["pos"])] == page
+
+
+def test_running_attribution(spark, segs, seg_rows):
+    is_intro = (F.col("elem_type") == "note") & (F.col("type_attr") == "speaker")
+    got = {
+        (r["url"], r["pos"]): r["intro_text"]
+        for r in W.running_attribution(segs, is_intro).collect()
+    }
+    for url, rows in _by_doc(seg_rows).items():
+        cur = None
+        for r in rows:
+            assert got[(url, r["pos"])] == cur
+            if r["elem_type"] == "note" and r["type_attr"] == "speaker":
+                cur = r["text"]
+
+
+def test_pair_with_next(spark, segs, seg_rows):
+    got = sorted(
+        (r["url"], r["xml_id1"], r["xml_id2"]) for r in W.pair_with_next(segs).collect()
+    )
+    want = []
+    for url, rows in _by_doc(seg_rows).items():
+        for a, b in zip(rows, rows[1:]):
+            want.append((url, a["elem_id"], b["elem_id"]))
+    assert got == sorted(want)
+
+
+def test_first_date_and_range(spark, segs, seg_rows):
+    fd = {r["url"]: r["first_date"] for r in W.first_date(segs).collect()}
+    dr = {r["url"]: (r["date_min"], r["date_max"]) for r in W.date_range(segs).collect()}
+    for url, rows in _by_doc(seg_rows).items():
+        dates = [r["when_attr"] for r in rows if r["elem_type"] == "docDate"]
+        assert fd[url] == dates[0]
+        assert dr[url] == (min(dates), max(dates))
+
+
+def test_interval_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            ("2020-01-01", "2020-01-10", "2020-01-01", "2020-01-10"),  # perfect
+            ("2020-01-01", "2020-01-10", "2020-01-06", "2020-01-15"),  # overlap
+            ("2020-01-01", "2020-01-10", "2020-02-01", "2020-02-05"),  # disjoint
+            ("2020-01-01", "2020-01-31", "2020-01-10", "2020-01-20"),  # contains
+        ],
+        "s1 string, e1 string, s2 string, e2 string",
+    )
+    rows = W.interval_jaccard(df, "s1", "e1", "s2", "e2").collect()
+    assert [r["perfect"] for r in rows] == [True, False, False, False]
+    assert [r["contains"] for r in rows] == [True, False, False, True]
+    assert rows[0]["jaccard"] == 1.0
+    assert rows[1]["jaccard"] == 5 / 15
+    assert rows[2]["jaccard"] == 0.0
+
+
+def test_clean_first_last(spark, segs, seg_rows):
+    df = W.clean_first_last(W.sessionize_sections(segs, W.section_break_expr()))
+    got = {(r["url"], r["pos"]): (r["prev"], r["next"]) for r in df.collect()}
+    for url, rows in _by_doc(seg_rows).items():
+        sid = 0
+        sections: dict[int, list] = {}
+        for r in rows:
+            if _is_break(r):
+                sid += 1
+            sections.setdefault(sid, []).append(r)
+        for rs in sections.values():
+            for k, r in enumerate(rs):
+                want_prev = None if k == 0 else r["prev"]
+                want_next = None if k == len(rs) - 1 else r["next"]
+                assert got[(url, r["pos"])] == (want_prev, want_next)
+
+
+def test_top_k_per_stratum(spark, segs):
+    df = W.top_k_per_stratum(
+        segs, ["url"], [F.col("pos").desc()], 2
+    )
+    counts = df.groupBy("url").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
