@@ -1,0 +1,196 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Scale design: every method is explode→agg→self-join-on-small-key; no
+driver-side collection, no O(n²) pair enumeration outside LSH buckets.
+Hash functions are xxhash64 (JVM, whole-stage codegen) — the portable
+md5-string variants used for the DuckDB oracle queries live in
+plans/queries.py; these are the fast production forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from scripts_spark.functions.text_kernel import tokens
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles in document order (empty if < k words)."""
+    t = tokens(text_col)
+    return F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: returns (key, group_key, is_canonical)
+    where is_canonical marks the deterministic survivor (min key)."""
+    h = df.select(F.col(key), F.xxhash64(F.col(text_col)).alias("group_key"))
+    w = Window.partitionBy("group_key").orderBy(key)
+    return h.withColumn("is_canonical", F.row_number().over(w) == 1)
+
+
+def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
+                       num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per doc: num_hashes independent min-hashes of
+    the shingle set, each via xxhash64(shingle, seed_i). One explode +
+    one partial-agg'd groupBy — cost O(total shingles)."""
+    sh = df.select(
+        F.col(key), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, key: str, num_hashes: int = 16,
+                        bands: int = 8) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash):
+    candidate pairs that agree on ≥1 band. Returns (key_a, key_b)."""
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                F.col(key),
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_key"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, key: str,
+                   text_col: str = "text", shingle_k: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """Verify candidate pairs by true shingle-set Jaccard (the
+    verification stage after LSH). Returns pairs with jaccard ≥ threshold."""
+    sh = df.select(
+        F.col(key).alias("k"),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("k").agg(
+        F.count(F.col("shingle")).alias("sz")
+    )
+    # intersection size: pair ⋈ shingles(a) ⋈ shingles(b) with the
+    # shingle equality inside the join keys (equi-join, no blow-up)
+    sh_a = sh.withColumnRenamed("k", "key_a")
+    sh_b = sh.withColumnRenamed("k", "key_b")
+    common = (
+        pairs.join(sh_a, "key_a")
+        .join(sh_b, ["key_b", "shingle"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("k", "key_a").withColumnRenamed("sz", "size_a"), "key_a")
+        .join(sizes.withColumnRenamed("k", "key_b").withColumnRenamed("sz", "size_b"), "key_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "key_a", "key_b", "jaccard", "n_common", "size_a", "size_b"
+    )
+
+
+def minhash_dedup(df: DataFrame, key: str, text_col: str = "text",
+                  num_hashes: int = 16, bands: int = 8,
+                  threshold: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard
+    verify. Returns verified (key_a, key_b, jaccard) pairs."""
+    sig = minhash_signatures(df, key, text_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, key, num_hashes, bands)
+    return jaccard_verify(df, cand, key, text_col, threshold=threshold)
+
+
+def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token, xxhash64 → take `bits` bits;
+    weighted bit-vote via token counts; fingerprint bit i = sign of the
+    vote. Pure aggregation — one shuffle on (key, token) then one on key."""
+    tok = (
+        df.select(F.col(key), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(key, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    v = tok.groupBy(key).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return v.select(F.col(key), fp.alias("simhash"))
+
+
+def simhash_near_pairs(fp: DataFrame, key: str, max_hamming: int = 3,
+                       bits: int = 32, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: block the fingerprint into `blocks`
+    bit-ranges (pigeonhole: ≤ max_hamming diffs ⇒ ≥1 identical block
+    when blocks > max_hamming), join per block, verify with bit_count."""
+    width = bits // blocks
+    parts = []
+    for b in range(blocks):
+        parts.append(
+            fp.select(
+                F.col(key),
+                F.col("simhash"),
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("blk_key"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_key") == F.col("b.blk_key"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("key_a"),
+            F.col(f"b.{key}").alias("key_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).bitwiseAND(
+                    F.lit((1 << bits) - 1)
+                )
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,86 @@
+"""Join operators beyond plain equi-joins: interval (point-in-range)
+joins, the fuzzy-match cascade, and multi-match arbitration —
+SURVEY.md §2.3 J2/J3/J8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def interval_join(facts: DataFrame, dim: DataFrame, point: Column,
+                  start: Column, end: Column, how: str = "inner",
+                  inclusive_end: bool = False) -> DataFrame:
+    """Point-in-interval join, dimension broadcast (SURVEY J2 —
+    fuzzy_matching.py:84, mp-coverage.py:175-178: start <= p < end).
+    Broadcasting the dim turns the non-equi join into a BNLJ over a
+    small in-memory side — the only sane physical plan for range
+    predicates at scale (no shuffle of the fact table)."""
+    cond = (point >= start) & ((point <= end) if inclusive_end else (point < end))
+    return facts.join(F.broadcast(dim), cond, how)
+
+
+def fuzzy_match_cascade(facts: DataFrame, dim: DataFrame, fact_key: str,
+                        stages: list[tuple[str, Column]]) -> DataFrame:
+    """Staged matching with priority arbitration (SURVEY J3 —
+    fuzzy_matching.py:75-103 tries 7 matchers in order and keeps the
+    first hit). Each stage is (name, join_condition); all stages run
+    as joins, then row_number over (fact_key, priority) keeps the
+    best-priority match. Unmatched facts survive with match_stage null.
+
+    This trades the reference's short-circuit loop for set-at-a-time
+    execution: every stage is a broadcast join over the full fact
+    table, and arbitration is one window — at 10^12 rows this is far
+    cheaper than per-row Python, and AQE prunes empty stages."""
+    matched = None
+    for prio, (name, cond) in enumerate(stages):
+        m = (
+            facts.join(F.broadcast(dim), cond, "inner")
+            .withColumn("match_stage", F.lit(name))
+            .withColumn("match_priority", F.lit(prio))
+        )
+        matched = m if matched is None else matched.unionByName(m)
+    w = Window.partitionBy(fact_key).orderBy("match_priority")
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "match_priority")
+    )
+    missing = facts.join(best.select(fact_key), fact_key, "left_anti").withColumn(
+        "match_stage", F.lit(None).cast("string")
+    )
+    for c in best.columns:
+        if c not in missing.columns:
+            missing = missing.withColumn(c, F.lit(None))
+    return best.unionByName(missing.select(best.columns))
+
+
+def lookup_with_arbitration(facts: DataFrame, dim: DataFrame, on: str,
+                            value_col: str, multi_label: str = "Multival") -> DataFrame:
+    """SURVEY J8 (add-catalog-dob.py:10-17): left join; null if absent,
+    the value if unique, `multi_label` if ambiguous."""
+    agg = dim.groupBy(on).agg(
+        F.count_distinct(value_col).alias("_n"), F.min(value_col).alias("_v")
+    )
+    out = facts.join(F.broadcast(agg), on, "left")
+    return out.withColumn(
+        value_col,
+        F.when(F.col("_n").isNull(), F.lit(None))
+        .when(F.col("_n") > 1, F.lit(multi_label))
+        .otherwise(F.col("_v")),
+    ).drop("_n", "_v")
+
+
+def containment_join_unique_page(sentences: DataFrame, pages: DataFrame,
+                                 sent_col: str = "sentence",
+                                 page_text: str = "page_text",
+                                 page_id: str = "page") -> DataFrame:
+    """SURVEY J5 (add_modern_pagenumbers.py:102-123): locate sentences
+    on pages by substring containment; keep only sentences found on
+    exactly one distinct page (the reference's early-exit-at-2 check
+    has identical semantics)."""
+    hits = sentences.join(pages, F.col(page_text).contains(F.col(sent_col)))
+    arb = hits.groupBy(sent_col).agg(
+        F.count_distinct(page_id).alias("n_pages"), F.min(page_id).alias(page_id)
+    )
+    return arb.filter(F.col("n_pages") == 1).drop("n_pages")

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline; one pass, no shuffle
+  beyond the final top-k;
+- random-hyperplane LSH buckets: the scale path — signature join
+  prunes the candidate set before exact cosine verification. Plane
+  weights are derived deterministically from xxhash64(plane, dim), so
+  there is no RNG state and reruns are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _as_double(arr):
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def cosine_cols(a, b):
+    """(dot, norm_a, norm_b) column triple for two double arrays."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot, na, nb
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col(vec_col))
+    dot, nv, nq = cosine_cols(v, q)
+    sim = F.when((nv > 0) & (nq > 0), dot / (nv * nq)).otherwise(F.lit(0.0))
+    return (
+        emb.select(F.col(key), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), key)
+        .limit(k)
+    )
+
+
+def hyperplane_weights(spark: SparkSession, dim: int, planes: int) -> DataFrame:
+    """Deterministic ±1 plane weights: sign of xxhash64(plane, dim)."""
+    base = spark.range(planes).select(F.col("id").alias("plane")).crossJoin(
+        spark.range(dim).select(F.col("id").alias("d"))
+    )
+    return base.withColumn(
+        "w",
+        F.when(F.xxhash64("plane", "d") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+
+
+def lsh_bucket(emb: DataFrame, weights: DataFrame, key: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Bucket key per vector: sign bits of the plane projections.
+    explode → broadcast-join weights → per-(key,plane) sum → bit pack."""
+    ex = emb.select(F.col(key), F.posexplode(_as_double(F.col(vec_col))).alias("d", "v"))
+    proj = (
+        ex.join(F.broadcast(weights), "d")
+        .groupBy(key, "plane")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("p"))
+    )
+    return proj.groupBy(key).agg(
+        F.sum(
+            F.when(F.col("p") > 0, F.pow(F.lit(2.0), F.col("plane")).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+
+
+def ann_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 planes: int = 8, probe_hamming: int = 1,
+                 key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: restrict exact cosine to LSH buckets within
+    ``probe_hamming`` sign-bit flips of the query's bucket
+    (multi-probe LSH — recall recovers what single-bucket probing
+    loses on near-orthogonal vectors, at 1+planes bucket probes)."""
+    spark = emb.sparkSession
+    dim = len(query_vec)
+    w = hyperplane_weights(spark, dim, planes)
+    buckets = lsh_bucket(emb, w, key, vec_col)
+    qdf = spark.createDataFrame([(0, query_vec)], f"{key} long, {vec_col} array<double>")
+    qbucket = lsh_bucket(qdf, w, key, vec_col).collect()[0]["bucket"]
+    near = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    cand = emb.join(buckets.filter(near).select(key), key, "left_semi")
+    return brute_force_topk(cand, query_vec, k, key, vec_col)
+
+
+def pairwise_topk(emb: DataFrame, k: int = 5, key: str = "vec_id",
+                  vec_col: str = "embedding", planes: int = 6) -> DataFrame:
+    """All-pairs ANN: bucket self-join then per-key top-k by cosine —
+    the shape used for embedding-cosine near-dup detection."""
+    spark = emb.sparkSession
+    dim = len(emb.select(F.size(vec_col)).first()[0] * [0])
+    w = hyperplane_weights(spark, dim, planes)
+    b = lsh_bucket(emb, w, key, vec_col)
+    e = emb.join(b, key)
+    a, c = e.alias("a"), e.alias("b")
+    dot, na, nb = cosine_cols(
+        _as_double(F.col(f"a.{vec_col}")), _as_double(F.col(f"b.{vec_col}"))
+    )
+    sim = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+    ).select(
+        F.col(f"a.{key}").alias("key_a"),
+        F.col(f"b.{key}").alias("key_b"),
+        sim.alias("cosine"),
+    )
+    w_k = Window.partitionBy("key_a").orderBy(F.desc("cosine"), "key_b")
+    return pairs.withColumn("rn", F.row_number().over(w_k)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,166 @@
+"""Dedup (exact/MinHash-LSH/SimHash/Jaccard) and ANN similarity
+operators on fixtures with planted duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scripts_spark.operators import dedup, joins, sampling, similarity
+
+WORDS = ["spark", "data", "query", "join", "table", "scan", "filter", "agg",
+         "window", "batch", "row", "column", "hash", "sort", "merge", "scale"]
+
+
+def _doc(rnd, n=60):
+    return " ".join(rnd.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, _doc(rnd)))
+    # planted: 100/101 exact dup; 102/103 near-dup (1-word edit);
+    # 104/105 near-dup (5% edits)
+    base = _doc(rnd, 80)
+    rows.append((100, base))
+    rows.append((101, base))
+    toks = base.split()
+    toks[40] = "XXX"
+    rows.append((102, base))
+    rows.append((103, " ".join(toks)))
+    toks2 = _doc(rnd, 100).split()
+    near = list(toks2)
+    for j in (10, 50, 90):
+        near[j] = "YYY"
+    rows.append((104, " ".join(toks2)))
+    rows.append((105, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs, "doc_id")
+    groups = out.groupBy("group_key").count().filter("count > 1").count()
+    assert groups == 1  # {100, 101, 102} share the same text
+    canon = {r["doc_id"] for r in out.filter("is_canonical").collect()}
+    assert 100 in canon and 101 not in canon
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    pairs = dedup.minhash_dedup(docs, "doc_id", threshold=0.5)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (100, 101) in got or (100, 102) in got  # exact dups certain
+    assert (104, 105) in got, got  # 3/100 token edit → high jaccard
+    jac = {(r["key_a"], r["key_b"]): r["jaccard"] for r in pairs.collect()}
+    for (a, b), j in jac.items():
+        assert 0.5 <= j <= 1.0
+
+
+def test_jaccard_exact_values(spark, docs):
+    sig = dedup.minhash_signatures(docs, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id")
+    ver = dedup.jaccard_verify(docs, cand, "doc_id", threshold=0.0)
+    row = {(r["key_a"], r["key_b"]): r for r in ver.collect()}.get((100, 101))
+    assert row is not None and row["jaccard"] == 1.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    fp = dedup.simhash(docs, "doc_id")
+    assert fp.count() == docs.count()
+    pairs = dedup.simhash_near_pairs(fp, "doc_id", max_hamming=0)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (100, 101) in got or (100, 102) in got
+    # identical docs → identical fingerprints → hamming 0
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[100] == vals[101] == vals[102]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, emb):
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    top = similarity.brute_force_topk(emb, [float(x) for x in qv], k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall(spark, emb):
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh(emb, qv, k=10, planes=4, probe_hamming=1).collect()
+    }
+    # multi-probe (hamming ≤1 of 4 planes) scans ~5/16 of vectors;
+    # require the query itself plus decent recall of the true top-10
+    assert 0 in approx
+    assert len(exact & approx) >= 5, (exact, approx)
+
+
+def test_interval_join(spark):
+    facts = spark.createDataFrame([(1, 1995), (2, 2001), (3, 2010)], "id long, year long")
+    dim = spark.createDataFrame(
+        [("old", 1990, 2000), ("new", 2000, 2020)], "era string, start long, end long"
+    )
+    out = joins.interval_join(
+        facts, dim, F.col("year"), F.col("start"), F.col("end")
+    ).select("id", "era")
+    assert {(r["id"], r["era"]) for r in out.collect()} == {(1, "old"), (2, "new"), (3, "new")}
+
+
+def test_fuzzy_cascade(spark):
+    facts = spark.createDataFrame(
+        [(1, "andersson"), (2, "anderson"), (3, "qqqq")], "fid long, name string"
+    )
+    dim = spark.createDataFrame([("andersson", "A1")], "dname string, mp_id string")
+    stages = [
+        ("exact", F.col("name") == F.col("dname")),
+        ("lev1", F.levenshtein(F.col("name"), F.col("dname")) <= 1),
+    ]
+    out = joins.fuzzy_match_cascade(facts, dim, "fid", stages)
+    got = {r["fid"]: r["match_stage"] for r in out.collect()}
+    assert got == {1: "exact", 2: "lev1", 3: None}
+
+
+def test_lookup_arbitration(spark):
+    facts = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    dim = spark.createDataFrame(
+        [(1, "1900"), (2, "1900"), (2, "1910")], "k long, dob string"
+    )
+    out = joins.lookup_with_arbitration(facts, dim, "k", "dob")
+    got = {r["k"]: r["dob"] for r in out.collect()}
+    assert got == {1: "1900", 2: "Multival", 3: None}
+
+
+def test_containment_join(spark):
+    sents = spark.createDataFrame([("unika meningen",), ("vanlig text",)], "sentence string")
+    pages = spark.createDataFrame(
+        [(1, "här står unika meningen mitt i"), (2, "vanlig text a"), (3, "vanlig text b")],
+        "page long, page_text string",
+    )
+    out = joins.containment_join_unique_page(sents, pages)
+    got = {r["sentence"]: r["page"] for r in out.collect()}
+    assert got == {"unika meningen": 1}  # ambiguous sentence dropped
+
+
+def test_stratified_and_weighted_sampling(spark, docs):
+    d = docs.withColumn("stratum", (F.col("doc_id") % 3).cast("int")).withColumn(
+        "w", (F.col("doc_id") + 1).cast("double")
+    )
+    s1 = sampling.stratified_fixed_n(d, ["stratum"], 4, "doc_id")
+    assert all(r["count"] <= 4 for r in s1.groupBy("stratum").count().collect())
+    # determinism
+    s2 = sampling.stratified_fixed_n(d, ["stratum"], 4, "doc_id")
+    assert {r["doc_id"] for r in s1.collect()} == {r["doc_id"] for r in s2.collect()}
+    ws = sampling.weighted_stratum_sample(d, "stratum", "w", "doc_id", 3)
+    assert all(r["count"] <= 3 for r in ws.groupBy("stratum").count().collect())
+    ws2 = sampling.weighted_stratum_sample(d, "stratum", "w", "doc_id", 3)
+    assert {r["doc_id"] for r in ws.collect()} == {r["doc_id"] for r in ws2.collect()}
