@@ -1,0 +1,93 @@
+"""Structured Streaming entry points.
+
+The reference pipeline is purely batch (SURVEY.md §2.10), so streaming
+here serves two engine-native purposes:
+
+1. incremental ingest of new crawl partitions: a file-source stream
+   over the pages directory, each micro-batch run through the SAME
+   batch `curate` plan via foreachBatch and committed through the
+   manifest catalog (exactly-once per bucket; the micro-batch is the
+   resume unit). Cross-document statistics (domain boilerplate) are
+   computed within the micro-batch — documented approximation for
+   late-arriving pages of a domain.
+2. watermarked tumbling-window metrics over an event stream — the
+   streaming twin of the `tumbling_window` batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from scripts_spark.plans.pipeline import CurateConfig, curate
+from scripts_spark.sources import catalog
+from scripts_spark.sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(input_dir)
+
+
+def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
+                  checkpoint_dir: str, cfg: CurateConfig | None = None,
+                  available_now: bool = True):
+    """File-source stream → batch curate per micro-batch → manifest
+    commit. Returns the started StreamingQuery."""
+    cfg = cfg or CurateConfig()
+    stream = read_pages_stream(spark, input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dec = curate(batch_df, cfg)
+        catalog.commit_buckets(dec, out_dir)
+
+    w = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the
+    watermark are dropped, state is bounded."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TS for watermark
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
+def run_windowed_counts(spark: SparkSession, input_dir: str, checkpoint_dir: str,
+                        table_name: str, schema: str,
+                        window: str = "1 hour") -> "StreamingQuery":
+    """File-source events stream → windowed counts → in-memory sink
+    (complete mode), processing everything available then stopping."""
+    ev = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(ev, window=window)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

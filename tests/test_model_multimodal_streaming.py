@@ -1,0 +1,125 @@
+"""Arrow model scoring (M1 pattern), multimodal plumbing, and
+structured streaming jobs."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scripts_spark.functions import model_scoring as MS
+from scripts_spark.operators import multimodal as MM
+from scripts_spark.plans.pipeline import CurateConfig, curate
+from scripts_spark.sources import catalog
+from scripts_spark.sources.pages import pages_df
+from scripts_spark.streaming import jobs as SJ
+
+
+# ------------------------------------------------- model scoring (M1)
+def test_classify_docs_matches_oracle(spark):
+    texts = [
+        ("d1", "herr talman jag vill anföra följande"),
+        ("d2", "protokoll fört vid sammanträdet"),
+        ("d3", ""),
+        ("d4", "a b c a b c a"),
+        ("d5", None),
+    ]
+    df = spark.createDataFrame(texts, "url string, scrubbed_text string")
+    got = {r["url"]: r["pred"] for r in MS.classify_docs(df).collect()}
+    for url, text in texts:
+        assert got[url] == MS.classify_doc_py(text), url
+
+
+def test_vocab_dedup_scoring_scores_each_token_once(spark):
+    # 1000 repetitions of the same tiny vocab: the vocab frame the
+    # model sees must contain each distinct token exactly once
+    df = spark.createDataFrame(
+        [(f"u{i}", "alpha beta gamma " * 50) for i in range(20)],
+        "url string, scrubbed_text string",
+    )
+    from scripts_spark.functions.text_kernel import tokens
+
+    vocab = (
+        df.select(F.explode(tokens(F.col("scrubbed_text"))).alias("token")).distinct()
+    )
+    scored = MS.score_vocab(vocab)
+    assert scored.count() == 3
+    out = MS.classify_docs(df)
+    assert out.count() == 20
+
+
+# ------------------------------------------------------- multimodal
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes", "image/png", 640, 480, None),
+        ("m2", "audio", b"RIFF fake", "audio/wav", None, None, 4000),
+        ("m3", "image", None, "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in MM.extract_features(media, fake=True).collect()}
+    assert feats["m1"]["n_bytes"] == len(b"\x89PNG fake bytes")
+    assert len(feats["m1"]["features"]) == MM.FEATURE_DIM
+    assert feats["m3"]["features"] is None
+    # determinism: same payload → same features
+    again = {r["media_id"]: r for r in MM.extract_features(media, fake=True).collect()}
+    assert feats["m1"]["features"] == again["m1"]["features"]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = spark.createDataFrame([], MM.MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, fake=False)
+
+
+def test_frame_sample_positions(spark):
+    df = spark.createDataFrame([(3500,)], "duration_ms long")
+    out = df.select(MM.frame_sample_positions(F.col("duration_ms")).alias("p")).first()
+    assert out["p"] == [0, 1000, 2000, 3000]
+
+
+# -------------------------------------------------------- streaming
+@pytest.fixture()
+def tmpdirs():
+    ds = [tempfile.mkdtemp() for _ in range(4)]
+    yield ds
+    for d in ds:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_curate_matches_batch(spark, tmpdirs):
+    in_dir, out_dir, ckpt, _ = tmpdirs
+    cfg = CurateConfig(num_buckets=8)
+    # two "crawl drops" as separate files
+    pages_df(spark, 120, partitions=2).write.mode("append").parquet(in_dir)
+    pages_df(spark, 120, partitions=2).filter(F.col("url").contains("page-")).limit(0)
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg)
+    q.awaitTermination(120)
+    out = catalog.read_output(spark, out_dir)
+    batch = curate(spark.read.parquet(in_dir), cfg)
+    assert out.count() == batch.count()
+    got = {(r["url"], r["doc_id"]) for r in out.select("url", "doc_id").collect()}
+    want = {(r["url"], r["doc_id"]) for r in batch.select("url", "doc_id").collect()}
+    assert got == want
+
+
+def test_windowed_event_counts_stream(spark, tmpdirs):
+    in_dir, _, ckpt, _ = tmpdirs
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(in_dir)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    q = SJ.run_windowed_counts(spark, in_dir, ckpt, "win_counts", schema)
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts")
+    # must equal the batch tumbling-window aggregation
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+    g = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value_cents"]) for r in got.collect()}
+    w = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value_cents"]) for r in batch.collect()}
+    assert g == w
