@@ -28,15 +28,22 @@ from scripts_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
+BUCKETS = int(os.environ.get("BENCH_BUCKETS", "256"))
 
 
 def replicated_pages(spark, sf_dir: str, k: int):
-    """documents → pages shape, replicated k× with distinct urls."""
+    """documents → pages shape, replicated k× with distinct urls.
+
+    The replication factor is the STREAMED side of the cross join and
+    the small documents table is broadcast: the generated input then
+    arrives in k partitions (like a real table's file splits) instead
+    of inheriting the single-file parquet's one partition, which would
+    serialize the first map stage no matter how many cores exist."""
     import __spark_entry__ as e
 
     base = e.pages_from_documents(spark, sf_dir)
-    reps = spark.range(k).select(F.col("id").alias("rep"))
-    return base.crossJoin(reps).select(
+    reps = spark.range(0, k, 1, max(k, 1)).select(F.col("id").alias("rep"))
+    return reps.crossJoin(F.broadcast(base)).select(
         F.concat(F.col("url"), F.lit("?r="), F.col("rep")).alias("url"),
         "warc_ts",
         "html",
@@ -45,33 +52,49 @@ def replicated_pages(spark, sf_dir: str, k: int):
     )
 
 
-def force(df) -> int:
-    """Execute the full plan; returns row count via a cheap agg on top
-    (noop write would hide output row counts)."""
-    return df.count()
+def force(df) -> None:
+    """Execute the full plan including every output column: a count()
+    would let Catalyst prune the per-row compute (scrub regexes,
+    langid folds); the noop sink materializes each row fully."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
+    # data-layout knobs are FIXED (not scaled with cores) so that
+    # N-core vs 4N-core runs execute identical task graphs — the
+    # scaling comparison then varies only the execution resources.
+    shuffle_parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
     spark = get_spark(
         app_name="bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=2 * CPUS,
+        shuffle_partitions=shuffle_parts,
+        extra_conf={"spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup (not timed)
-    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    # JVM/codegen warmup (not timed): run the identical curate plan on
+    # a 1x input first — whole-stage codegen compiles each generated
+    # stage class once per JVM (tens of seconds for this plan's regex
+    # chains, independent of core count); a real cluster run amortizes
+    # it over hours, a 30s bench must not measure it.
+    warm = curate(
+        replicated_pages(spark, SF_DIR, 1),
+        CurateConfig(num_buckets=BUCKETS, input_snapshot="warmup"),
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     n_docs = 0
 
+    n_base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     t0 = time.perf_counter()
     pages = replicated_pages(spark, SF_DIR, REPLICATE)
-    dec = curate(pages, CurateConfig(num_buckets=4 * CPUS, input_snapshot="bench"))
-    n_docs = force(dec)
+    dec = curate(pages, CurateConfig(num_buckets=BUCKETS, input_snapshot="bench"))
+    force(dec)
     timings["curate"] = time.perf_counter() - t0
+    n_docs = n_base * REPLICATE  # one decision row per distinct url
 
-    bench_queries = [
+    bench_queries = [] if os.environ.get("BENCH_ONLY") == "curate" else [
         "pricing_summary",
         "wordfreq",
         "quality_filter",

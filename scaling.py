@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Scaling-efficiency proxy for the north rule's N→4N executor
+criterion: run the identical curate job on the identical input at
+local[8] and local[32] (fresh JVM each) and report docs/sec at both
+plus efficiency = (T_8 / T_32) / 4. Writes BENCH_SCALING.md.
+
+Usage: python scaling.py [replicate] (default 40 → ~200k docs at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = sys.argv[1] if len(sys.argv) > 1 else "40"
+
+
+def run(cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        BENCH_REPLICATE=REPLICATE,
+        BENCH_ONLY="curate",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(os.environ.get("SCALE_N", "8"))
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    four_n = 4 * n
+    # min-of-trials: this sandbox VM sees host-side CPU steal
+    # (historically ~11% of cpu time, bursty), so a single wall-clock
+    # sample is noisy; min is the standard noise-robust estimator.
+    runs_n = [run(n) for _ in range(trials)]
+    runs_4n = [run(four_n) for _ in range(trials)]
+    r_n = min(runs_n, key=lambda r: r["queries"]["curate"])
+    r_4n = min(runs_4n, key=lambda r: r["queries"]["curate"])
+    t_n = r_n["queries"]["curate"]
+    t_4n = r_4n["queries"]["curate"]
+    eff = (t_n / t_4n) / (four_n / n)
+    result = {
+        "input_docs": r_n["docs"],
+        "sf_dir": SF_DIR,
+        f"local[{n}]": {"sec": t_n, "docs_per_sec": r_n["docs_per_sec"]},
+        f"local[{four_n}]": {"sec": t_4n, "docs_per_sec": r_4n["docs_per_sec"]},
+        "speedup": round(t_n / t_4n, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    with open("BENCH_SCALING.md", "w") as f:
+        f.write(
+            f"""# Scaling efficiency (N → 4N cores proxy for N → 4N executors)
+
+Same job (full curate pipeline: repair → boilerplate strip → PII scrub
+→ langid → perplexity → decisions), same input ({result['input_docs']}
+docs derived from {SF_DIR}), fresh JVM per run.
+
+| config | wall sec | docs/sec |
+|---|---|---|
+| local[{n}] (N) | {t_n:.2f} | {r_n['docs_per_sec']:.0f} |
+| local[{four_n}] (4N) | {t_4n:.2f} | {r_4n['docs_per_sec']:.0f} |
+
+- speedup 4N/N: **{result['speedup']}×** (ideal 4×)
+- scaling efficiency: **{result['scaling_efficiency']}** (target ≥ 0.8)
+- pass: **{result['pass']}**
+
+Method per BASELINE.md: efficiency = (T_N / T_4N) / 4. Shuffle
+partitions scale with cores (2×cpus); AQE enabled in both runs.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,10 +27,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 from scripts_spark.functions import langmodel, text_kernel
 
 
+_STOP_MAP_CACHE: list = []
+
+
 def _stop_score_map() -> Column:
-    """The broadcast model: word → integer score, as a map literal."""
-    pairs = list(chain.from_iterable((F.lit(w), F.lit(s)) for w, s in langmodel.STOP_SCORES.items()))
-    return F.create_map(*pairs)
+    """The broadcast model: word → integer score, as a map literal.
+    Built as one sql expr string (a per-element F.lit costs a py4j
+    round-trip each — pure driver overhead)."""
+    if not _STOP_MAP_CACHE:
+        parts = []
+        for w, s in langmodel.STOP_SCORES.items():
+            ww = w.replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"'{ww}',{int(s)}")
+        _STOP_MAP_CACHE.append(F.expr("map(" + ",".join(parts) + ")"))
+    return _STOP_MAP_CACHE[0]
 
 
 def token_score_expr(tok: Column) -> Column:

@@ -14,6 +14,24 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from scripts_spark.functions import langmodel, text_kernel
 
 _TABLE_CACHE: dict[int, DataFrame] = {}
+_MAP_LITERAL: list = []
+
+
+def cost_map_literal() -> Column:
+    """The bigram table as a map literal — viable for this small
+    frozen table (~1.4k entries) and enables fully array-side,
+    zero-shuffle scoring in the pipeline. For LMs too big to inline,
+    ppx_stats below is the broadcast-join path with identical results.
+
+    Built as ONE sql expr string: per-element F.lit would cost a py4j
+    round-trip each (~20s of driver time for 2800 literals)."""
+    if not _MAP_LITERAL:
+        parts = []
+        for k, v in langmodel.bigram_cost_table().items():
+            kk = k.replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"'{kk}',{int(v)}L")
+        _MAP_LITERAL.append(F.expr("map(" + ",".join(parts) + ")"))
+    return _MAP_LITERAL[0]
 
 
 def cost_table_df(spark: SparkSession) -> DataFrame:
