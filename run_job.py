@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the curation engine.
+
+Cluster usage (the north rule's ship shape):
+
+    python make_pyfiles.py   # builds dist/scripts_spark.zip
+    spark-submit --py-files dist/scripts_spark.zip run_job.py \
+        curate --input /data/pages --output /data/decisions
+
+Local sandbox usage is identical minus spark-submit:
+
+    python run_job.py curate --input ... --output ...
+
+Subcommands:
+    gen-pages   write a deterministic synthetic pages table
+    curate      run the pipeline and commit buckets (resumable: rerun
+                the same command after a crash and only the buckets
+                missing from the manifest are recomputed/written)
+    check       data-quality audit of a decisions output (A8 etc.)
+    qc-sample   emit a stratified annotation sample
+    metrics     print per-bucket metrics from a decisions output
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from scripts_spark.plans.accuracy import emit_qc_sample
+from scripts_spark.plans.pipeline import CurateConfig, curate
+from scripts_spark.plans import quality_checks
+from scripts_spark.sources import catalog, pages
+from scripts_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="scripts-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-pages")
+    g.add_argument("--output", required=True)
+    g.add_argument("--rows", type=int, default=10000)
+    g.add_argument("--seed", type=int, default=42)
+
+    c = sub.add_parser("curate")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--buckets", type=int, default=256)
+    c.add_argument("--salt", type=int, default=0)
+    c.add_argument("--snapshot", default="cli")
+    c.add_argument("--scorer", choices=["arrow", "join"], default="arrow")
+
+    k = sub.add_parser("check")
+    k.add_argument("--decisions", required=True)
+
+    q = sub.add_parser("qc-sample")
+    q.add_argument("--decisions", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--per-stratum", type=int, default=30)
+
+    m = sub.add_parser("metrics")
+    m.add_argument("--decisions", required=True)
+
+    a = p.parse_args(argv)
+    spark = get_spark(app_name=f"scripts-spark-{a.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if a.cmd == "gen-pages":
+        pages.write_pages(spark, a.output, a.rows, a.seed)
+        print(json.dumps({"written": a.rows, "path": a.output}))
+    elif a.cmd == "curate":
+        df = spark.read.parquet(a.input)
+        cfg = CurateConfig(
+            num_buckets=a.buckets, salt=a.salt, input_snapshot=a.snapshot,
+            scorer=a.scorer,
+        )
+        dec = curate(df, cfg)
+        stats = catalog.commit_buckets(dec, a.output)
+        print(json.dumps(stats))
+    elif a.cmd == "check":
+        dec = catalog.read_output(spark, a.decisions)
+        result = quality_checks.run_all(dec)
+        print(json.dumps(result))
+        return 0 if not any(result.values()) else 1
+    elif a.cmd == "qc-sample":
+        dec = catalog.read_output(spark, a.decisions)
+        emit_qc_sample(dec, a.per_stratum).write.mode("overwrite").parquet(a.output)
+        print(json.dumps({"path": a.output}))
+    elif a.cmd == "metrics":
+        dec = catalog.read_output(spark, a.decisions)
+        for r in catalog.partition_metrics(dec).orderBy("bucket").collect():
+            print(json.dumps(r.asDict()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
