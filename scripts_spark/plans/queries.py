@@ -756,3 +756,316 @@ def kwic(spark, sf_dir):
         .groupBy("doc_id", "match")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ================== batch 2: A-series, predicates, windows ==========
+@q(
+    "orders_ratio",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_known,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS known_ratio
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_ratio(spark, sf_dir):
+    """Known/unknown ratio per year (SURVEY A3,
+    mapping_accuracy_estimate.py:43-63 shape)."""
+    o = T(spark, sf_dir, "orders")
+    known = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        known.alias("n_known"),
+        F.count(F.lit(1)).alias("n_total"),
+        (known.cast("double") / F.count(F.lit(1))).alias("known_ratio"),
+    )
+
+
+@q(
+    "coverage_tolerance",
+    """
+    WITH cur AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE date_part('month', ts) = 2 GROUP BY user_id),
+    base AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE date_part('month', ts) = 1 GROUP BY user_id)
+    SELECT cur.user_id, cur.n AS n_current, base.n AS n_baseline
+    FROM cur JOIN base USING (user_id)
+    WHERE NOT (cur.n * 10 >= base.n * 9 AND cur.n * 10 <= base.n * 11)
+    """,
+)
+def coverage_tolerance(spark, sf_dir):
+    """±10% tolerance regression check (SURVEY A9,
+    mp-coverage.py:33-41): users whose Feb activity left the Jan
+    baseline band. Integer cross-multiplied."""
+    ev = T(spark, sf_dir, "events")
+    cur = (
+        ev.filter(F.month(F.col("ts")) == 2)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_current"))
+    )
+    base = (
+        ev.filter(F.month(F.col("ts")) == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_baseline"))
+    )
+    j = cur.join(base, "user_id")
+    ok = (F.col("n_current") * 10 >= F.col("n_baseline") * 9) & (
+        F.col("n_current") * 10 <= F.col("n_baseline") * 11
+    )
+    return j.filter(~ok).select("user_id", "n_current", "n_baseline")
+
+
+@q(
+    "props_nonempty_share",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN props IS NOT NULL AND props <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS share_nonempty
+    FROM events GROUP BY event_type
+    """,
+)
+def props_nonempty_share(spark, sf_dir):
+    """Proportion summary (SURVEY A10, redetect.py:49-51)."""
+    ev = T(spark, sf_dir, "events")
+    nonempty = F.sum(
+        F.when(F.col("props").isNotNull() & (F.col("props") != ""), 1).otherwise(0)
+    )
+    return ev.groupBy("event_type").agg(
+        (nonempty.cast("double") / F.count(F.lit(1))).alias("share_nonempty")
+    )
+
+
+@q(
+    "extrema_by_nation",
+    """
+    SELECT c_nationkey, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def extrema_by_nation(spark, sf_dir):
+    """Max/extrema (SURVEY A11) — min/max pick existing values, no
+    float-sum hazard."""
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+_VERSIONS = ["v0.10.0", "v0.9.2", "v0.14.0", "v0.9.10", "v1.0.0", "v0.14.1"]
+_VERSIONS_SQL = ", ".join(f"('{v}')" for v in _VERSIONS)
+
+
+@q(
+    "semver_sort",
+    f"""
+    SELECT version,
+           row_number() OVER (ORDER BY
+             CAST(string_split(substr(version, 2), '.')[1] AS INTEGER),
+             CAST(string_split(substr(version, 2), '.')[2] AS INTEGER),
+             CAST(string_split(substr(version, 2), '.')[3] AS INTEGER)) AS rank
+    FROM (VALUES {_VERSIONS_SQL}) AS t(version)
+    """,
+)
+def semver_sort(spark, sf_dir):
+    """Version-aware sort (SURVEY O4, accuracy_version_plot.py:39):
+    split-cast (major, minor, patch) ordering, not lexicographic."""
+    df = spark.createDataFrame([(v,) for v in _VERSIONS], "version string")
+    parts = F.split(F.substring(F.col("version"), 2, 100), "\\.")
+    w = Window.orderBy(
+        parts[0].cast("int"), parts[1].cast("int"), parts[2].cast("int")
+    )
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+_SKIP_DOCS = [3, 7]
+_SKIP_SQL = ", ".join(str(i) for i in _SKIP_DOCS)
+
+
+@q(
+    "predicate_filters",
+    f"""
+    SELECT doc_id,
+           (substr(ltrim(text), 1, 4) LIKE '%the%') AS head_kw,
+           (text LIKE '%query%' AND text NOT LIKE '%slow%') AS combo_kw
+    FROM documents
+    WHERE doc_id NOT IN ({_SKIP_SQL})
+      AND text IS NOT NULL
+      AND ((text LIKE '%query%' AND text NOT LIKE '%slow%')
+           OR substr(ltrim(text), 1, 4) LIKE '%the%')
+    """,
+)
+def predicate_filters(spark, sf_dir):
+    """Prefix predicate + keyword combo + skip-list (SURVEY P5/P6/P8:
+    split_into_sections.py:65-68, label-ip-debate-divs.py:15-23)."""
+    d = T(spark, sf_dir, "documents")
+    head_kw = F.substring(F.ltrim(F.col("text")), 1, 4).contains("the")
+    combo = F.col("text").contains("query") & ~F.col("text").contains("slow")
+    return (
+        d.filter(~F.col("doc_id").isin(_SKIP_DOCS))
+        .filter(F.col("text").isNotNull())
+        .filter(combo | head_kw)
+        .select("doc_id", head_kw.alias("head_kw"), combo.alias("combo_kw"))
+    )
+
+
+@q(
+    "fuzzy_token_match",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''),
+    dim AS (SELECT * FROM (VALUES ('table'), ('spark'), ('quer')) AS t(target))
+    SELECT word, target, levenshtein(word, target) AS dist
+    FROM vocab JOIN dim ON levenshtein(word, target) <= 1
+    """,
+)
+def fuzzy_token_match(spark, sf_dir):
+    """Fuzzy-match join stage (SURVEY J3, fuzzy_matching.py:75-76):
+    levenshtein theta-join of the corpus vocabulary against a target
+    dimension — the distinct-vocab prefilter keeps the theta join tiny."""
+    d = T(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("word")).distinct()
+    )
+    dim = spark.createDataFrame([("table",), ("spark",), ("quer",)], "target string")
+    return vocab.join(
+        F.broadcast(dim), F.levenshtein(F.col("word"), F.col("target")) <= 1
+    ).select("word", "target", F.levenshtein("word", "target").alias("dist"))
+
+
+@q(
+    "token_positions",
+    """
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 5)
+    CROSS JOIN UNNEST(generate_series(1, len(t))) AS s(i)
+    WHERE t[i] <> ''
+    """,
+)
+def token_positions(spark, sf_dir):
+    """Ordered subtree flatten with positions (SURVEY P2/S7):
+    posexplode keeping (doc, pos)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return (
+        d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+@q(
+    "top_revenue_customers",
+    """
+    SELECT c_custkey, c_name, n_orders, revenue_cents FROM (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+      FROM orders GROUP BY o_custkey) r
+    JOIN customer USING (c_custkey)
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 10
+    """,
+)
+def top_revenue_customers(spark, sf_dir):
+    """TPC-H Q3-flavored top-k over a join (agg-before-join so the
+    shuffle carries one row per customer, then broadcast the dim)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    r = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+    )
+    return (
+        r.join(F.broadcast(c.select("c_custkey", "c_name")), "c_custkey")
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(10)
+        .select("c_custkey", "c_name", "n_orders", "revenue_cents")
+    )
+
+
+@q(
+    "moving_sum",
+    """
+    SELECT event_id, user_id,
+           SUM(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_cents
+    FROM events
+    """,
+)
+def moving_sum(spark, sf_dir):
+    """Sliding rows-frame window aggregate."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("moving_cents"),
+    )
+
+
+@q(
+    "value_percent_rank",
+    """
+    SELECT event_id, event_type,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr
+    FROM events
+    """,
+)
+def value_percent_rank(spark, sf_dir):
+    """percent_rank — (rank-1)/(n-1) exact-integer division both sides."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select("event_id", "event_type", F.percent_rank().over(w).alias("pr"))
+
+
+@q(
+    "distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users(spark, sf_dir):
+    """Exact count-distinct (SURVEY A5). approx_count_distinct is the
+    documented metrics-only optimization — never for keep/drop."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "weighted_sample",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT + 1)
+                   / 4294967297.0) / (n_chars + 1), doc_id) AS rn
+      FROM documents) WHERE rn <= 5
+    """,
+)
+def weighted_sample(spark, sf_dir):
+    """Weighted stratified sample (SURVEY R1, sample_pages_new.py):
+    Efraimidis-Spirakis exponential-sort keys with the uniform derived
+    from md5 — deterministic AND engine-portable (no rand())."""
+    d = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = -F.log(u) / (F.col("n_chars") + 1)
+    w = Window.partitionBy("source").orderBy(key.asc(), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+    )
