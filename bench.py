@@ -87,11 +87,15 @@ def main() -> None:
     n_docs = 0
 
     n_base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    t0 = time.perf_counter()
-    pages = replicated_pages(spark, SF_DIR, REPLICATE)
-    dec = curate(pages, CurateConfig(num_buckets=BUCKETS, input_snapshot="bench"))
-    force(dec)
-    timings["curate"] = time.perf_counter() - t0
+    trials = []
+    for _ in range(int(os.environ.get("BENCH_TRIALS", "2"))):
+        t0 = time.perf_counter()
+        pages = replicated_pages(spark, SF_DIR, REPLICATE)
+        dec = curate(pages, CurateConfig(num_buckets=BUCKETS, input_snapshot="bench"))
+        force(dec)
+        trials.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    timings["curate"] = min(trials)  # min-of-trials vs host CPU-steal noise
     n_docs = n_base * REPLICATE  # one decision row per distinct url
 
     bench_queries = [] if os.environ.get("BENCH_ONLY") == "curate" else [
@@ -107,10 +111,14 @@ def main() -> None:
         "top_events_per_user",
         "year_rollup",
     ]
+    n_trials = int(os.environ.get("BENCH_TRIALS", "2"))
     for name in bench_queries:
-        t0 = time.perf_counter()
-        force(Q.REGISTRY[name](spark, SF_DIR))
-        timings[name] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(n_trials):  # min-of-trials vs host CPU-steal noise
+            t0 = time.perf_counter()
+            force(Q.REGISTRY[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = best
 
     total = sum(timings.values())
     out = {

@@ -108,7 +108,11 @@ def deduped_docs(pages: DataFrame, cfg: CurateConfig) -> DataFrame:
     docs = docs.repartition(cfg.num_buckets, "bucket")
     lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
     repaired = F.filter(F.transform(lines, _repair_line), lambda p: p != "")
-    return docs.withColumn("paras", repaired)
+    # shed the wide inputs immediately: html payload and raw text do
+    # not travel past the repair pass
+    return docs.withColumn("paras", repaired).select(
+        "url", "warc_ts", "bucket", "domain", "paras"
+    )
 
 
 def boilerplate_sets(docs: DataFrame, cfg: CurateConfig) -> DataFrame:
@@ -177,6 +181,11 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
     bucket column for manifests/metrics)."""
     cfg = cfg or CurateConfig()
     docs = deduped_docs(pages, cfg)
+    # three consumers read this frame (boilerplate line counts, domain
+    # doc counts, and the main decision branch) — without the persist
+    # each would recompute the scan + url-dedup window + repair chain
+    if cfg.persist_intermediate:
+        docs = docs.persist()
     boiler = boilerplate_sets(docs, cfg)
 
     d = docs.join(F.broadcast(boiler), "domain", "left")
@@ -189,19 +198,14 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
         .withColumn(
             "scrubbed_text", text_kernel.scrub_pii(F.array_join("kept_paras", "\n"))
         )
-        # shed the wide inputs (html payload, raw text, paragraph
-        # arrays) before the persist below — only the scrubbed text
-        # and the small metadata travel further
-        .drop("boiler_set", "paras", "kept_paras", "html", "text", "lang")
+        .drop("boiler_set", "paras", "kept_paras")
     )
 
     st = F.col("scrubbed_text")
-    # Persist the repaired+scrubbed frame: it feeds both the decision
-    # assembly and the scoring aggregation — without a checkpoint the
-    # repair/scrub regex chain (the most expensive per-row work) would
-    # execute once per consumer. On a cluster this is the natural
-    # stage boundary the SURVEY calls out ("after model scoring").
-    if cfg.persist_intermediate:
+    # With the arrow scorer the rest of the plan is one linear pass —
+    # no second consumer, nothing further to persist. The join scorer
+    # consumes d twice, so checkpoint it there.
+    if cfg.scorer != "arrow" and cfg.persist_intermediate:
         d = d.persist()
     # langid + perplexity scoring. Two interchangeable physical forms
     # with identical results (both pinned to the oracle):

