@@ -1120,3 +1120,54 @@ def weighted_sample(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id")
     )
+
+
+@q(
+    "embedding_near_pairs",
+    """
+    WITH qv AS (
+      SELECT vec_id, generate_subscripts(embedding,1) AS i,
+             CAST(round(unnest(embedding)*1000) AS BIGINT) AS q
+      FROM embeddings),
+    norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM qv GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q*b.q) AS dot
+      FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT vec_a, vec_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b
+    FROM dots JOIN norms na ON na.vec_id = vec_a
+              JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot > 0 AND 400*dot*dot >= 81*na.n2*nb.n2
+    """,
+)
+def embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45 — the testdata's
+    similarity ceiling is ~0.51) with milli-quantized INTEGER
+    arithmetic: the threshold test is 400·dot² ≥ 81·|a|²·|b|²,
+    exact in both engines (no float sums, no sqrt). Brute-force
+    all-pairs is the oracle-checkable baseline; the LSH-bucketed scale
+    path is operators/similarity.pairwise_topk."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("v") * 1000).cast("long").alias("q"),
+    )
+    norms = qv.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    a, b = qv.alias("a"), qv.alias("b")
+    dots = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("n2", "n2_a"), "vec_a")
+        .join(norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("n2", "n2_b"), "vec_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (400 * F.col("dot") * F.col("dot") >= 81 * F.col("n2_a") * F.col("n2_b"))
+        )
+        .select("vec_a", "vec_b", "dot", "n2_a", "n2_b")
+    )
