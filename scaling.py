@@ -34,7 +34,7 @@ def run(cpus: int) -> dict:
 
 
 def main() -> None:
-    n = int(os.environ.get("SCALE_N", "8"))
+    n = int(os.environ.get("SCALE_N", "2"))
     trials = int(os.environ.get("SCALE_TRIALS", "2"))
     four_n = 4 * n
     # min-of-trials: this sandbox VM sees host-side CPU steal

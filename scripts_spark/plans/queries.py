@@ -272,7 +272,7 @@ def minhash_lsh_pairs(spark, sf_dir):
         *[F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}") for i in range(8)],
     )
     sig = (
-        sh.join(hs, "shingle")
+        sh.join(F.broadcast(hs), "shingle")
         .groupBy("doc_id")
         .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(8)])
     )

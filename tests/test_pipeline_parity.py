@@ -91,3 +91,20 @@ def test_lineage_struct(spark_result):
     lin = s["lineage"].asDict()
     assert set(lin) == {"source_partition", "rule_versions", "input_snapshot"}
     assert "pipeline" in lin["rule_versions"]
+
+
+def test_join_scorer_equals_arrow(spark, fixture_rows):
+    """The two scorer physical forms must be result-identical."""
+    from scripts_spark.plans.pipeline import CurateConfig, curate
+    from scripts_spark.sources import pages as P
+
+    df = P.pages_df(spark, 150, partitions=3)
+    a = curate(df, CurateConfig(num_buckets=4, scorer="arrow"))
+    b = curate(df, CurateConfig(num_buckets=4, scorer="join"))
+    cols = ["url", "lang_pred", "keep", "perplexity", "doc_id"]
+    ra = sorted(tuple(r[c] for c in cols) for r in a.select(cols).collect())
+    rb = sorted(tuple(r[c] for c in cols) for r in b.select(cols).collect())
+    assert ra == rb
+    fa = {r["url"]: list(r["filter_reasons"]) for r in a.collect()}
+    fb = {r["url"]: list(r["filter_reasons"]) for r in b.collect()}
+    assert fa == fb
