@@ -41,8 +41,17 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    pages = pages_from_documents(spark, SF0001)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Input = the sf0.001 documents table reshaped to the pages schema
+    (all English → dropped as 'lang': the engine is a Swedish quality
+    filter) UNION a deterministic synthesized Swedish slice, so the
+    output exhibits the full keep/drop/reason mixture."""
+    from scripts_spark.sources.pages import pages_df
+
+    pages = pages_from_documents(spark, SF0001).unionByName(
+        pages_df(spark, 300, partitions=4)
+    )
     out = curate(pages, CurateConfig(num_buckets=16, input_snapshot="sf0.001"))
     return out.select(
         "url",

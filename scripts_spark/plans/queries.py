@@ -1171,3 +1171,44 @@ def embedding_near_pairs(spark, sf_dir):
         )
         .select("vec_a", "vec_b", "dot", "n2_a", "n2_b")
     )
+
+
+@q(
+    "kwic_context",
+    """
+    SELECT doc_id, m AS match,
+           CAST(strpos(text, m) AS BIGINT) AS match_start,
+           substr(text, greatest(strpos(text, m) - 20, 1),
+                  least(strpos(text, m) - 1, 20)) AS left_context,
+           substr(text, strpos(text, m) + length(m), 20) AS right_context
+    FROM (
+      SELECT DISTINCT doc_id, text, unnest(regexp_extract_all(text, '[a-z]*join[a-z]*')) AS m
+      FROM documents)
+    """,
+)
+def kwic_context(spark, sf_dir):
+    """KWIC with left/right context windows (SURVEY §2.7,
+    KWIC-iter-search.py:32-47,63-69): match exploder + substring
+    context around the first occurrence of each distinct match."""
+    d = T(spark, sf_dir, "documents")
+    m = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.regexp_extract_all("text", F.lit("[a-z]*join[a-z]*"), F.lit(0))).alias("match"),
+        )
+        .distinct()
+    )
+    pos = F.instr(F.col("text"), F.col("match"))
+    return m.select(
+        "doc_id",
+        "match",
+        pos.cast("long").alias("match_start"),
+        F.expr(
+            "substr(text, greatest(instr(text, match) - 20, 1),"
+            " least(instr(text, match) - 1, 20))"
+        ).alias("left_context"),
+        F.expr("substr(text, instr(text, match) + length(match), 20)").alias(
+            "right_context"
+        ),
+    )
