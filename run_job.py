@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
 
     m = sub.add_parser("metrics")
     m.add_argument("--decisions", required=True)
+    m.add_argument("--as-of", type=int, default=None,
+                   help="read the snapshot as of this commit_seq")
+
+    sn = sub.add_parser("snapshots")
+    sn.add_argument("--decisions", required=True)
 
     a = p.parse_args(argv)
     spark = get_spark(app_name=f"scripts-spark-{a.cmd}")
@@ -90,8 +95,11 @@ def main(argv: list[str] | None = None) -> int:
         emit_qc_sample(dec, a.per_stratum).write.mode("overwrite").parquet(a.output)
         print(json.dumps({"path": a.output}))
     elif a.cmd == "metrics":
-        dec = catalog.read_output(spark, a.decisions)
+        dec = catalog.read_output(spark, a.decisions, as_of=a.as_of)
         for r in catalog.partition_metrics(dec).orderBy("bucket").collect():
+            print(json.dumps(r.asDict()))
+    elif a.cmd == "snapshots":
+        for r in catalog.snapshots(spark, a.decisions).collect():
             print(json.dumps(r.asDict()))
     return 0
 

@@ -23,7 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-MANIFEST_SCHEMA = "bucket long, n_rows long, n_kept long"
+MANIFEST_SCHEMA = "bucket long, n_rows long, n_kept long, commit_seq long"
 
 
 def manifest_path(base: str) -> str:
@@ -65,7 +65,13 @@ def commit_buckets(decisions: DataFrame, base: str) -> dict[str, int]:
         )
         rows = metrics.collect()
         if rows:
-            decisions.sparkSession.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+            spark = decisions.sparkSession
+            prev = read_manifest(spark, base).agg(F.max("commit_seq")).collect()[0][0]
+            seq = (prev if prev is not None else -1) + 1
+            stamped = [
+                (r["bucket"], r["n_rows"], r["n_kept"], seq) for r in rows
+            ]
+            spark.createDataFrame(stamped, MANIFEST_SCHEMA).coalesce(1).write.mode(
                 "append"
             ).parquet(manifest_path(base))
         return {"committed_buckets": len(rows), "rows": sum(r["n_rows"] for r in rows)}
@@ -73,11 +79,28 @@ def commit_buckets(decisions: DataFrame, base: str) -> dict[str, int]:
         todo.unpersist()
 
 
-def read_output(spark: SparkSession, base: str) -> DataFrame:
+def read_output(spark: SparkSession, base: str, as_of: int | None = None) -> DataFrame:
+    """Committed rows only; ``as_of`` reads the snapshot as of a commit
+    sequence (Iceberg time-travel semantics on the manifest: buckets
+    committed with commit_seq <= as_of)."""
     out = spark.read.parquet(os.path.join(base, "data"))
-    # only rows whose bucket commit completed
-    return out.join(
-        F.broadcast(read_manifest(spark, base).select("bucket")), "bucket", "left_semi"
+    m = read_manifest(spark, base)
+    if as_of is not None:
+        m = m.filter(F.col("commit_seq") <= as_of)
+    return out.join(F.broadcast(m.select("bucket")), "bucket", "left_semi")
+
+
+def snapshots(spark: SparkSession, base: str) -> DataFrame:
+    """One row per commit: seq, buckets, rows — the snapshot log."""
+    return (
+        read_manifest(spark, base)
+        .groupBy("commit_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+        .orderBy("commit_seq")
     )
 
 

@@ -69,3 +69,18 @@ def test_partition_metrics(spark):
     total = sum(r["n_rows"] for r in m)
     assert total == dec.count()
     assert sum(r["n_lang"] for r in m) > 0  # reason metrics populated
+
+
+def test_snapshot_time_travel(spark, outdir):
+    dec = _decisions(spark)
+    catalog.commit_buckets(dec.filter(F.col("bucket") < 4), outdir)
+    catalog.commit_buckets(_decisions(spark), outdir)
+
+    snaps = catalog.snapshots(spark, outdir).collect()
+    assert [s["commit_seq"] for s in snaps] == [0, 1]
+
+    v0 = catalog.read_output(spark, outdir, as_of=0)
+    v1 = catalog.read_output(spark, outdir, as_of=1)
+    full = catalog.read_output(spark, outdir)
+    assert set(r["bucket"] for r in v0.select("bucket").distinct().collect()) == {0, 1, 2, 3}
+    assert v1.count() == full.count() > v0.count()
