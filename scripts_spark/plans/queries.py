@@ -48,9 +48,9 @@ def _tokens(col):
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-           SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -97,7 +97,7 @@ def wordfreq(spark, sf_dir):
     "doc_stats",
     """
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY source, lang
     """,
@@ -403,7 +403,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
              generate_subscripts(embedding,1) AS i
       FROM embeddings)
     SELECT e.vec_id,
-           SUM(CAST(round(ev*1000) AS BIGINT) * CAST(round(qv*1000) AS BIGINT)) AS dot_milli
+           CAST(SUM(CAST(round(ev*1000) AS BIGINT) * CAST(round(qv*1000) AS BIGINT)) AS BIGINT) AS dot_milli
     FROM e JOIN q USING (i)
     GROUP BY e.vec_id
     ORDER BY dot_milli DESC, vec_id
@@ -467,8 +467,8 @@ def top_events_per_user(spark, sf_dir):
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, event_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
     FROM s GROUP BY user_id, session_id
@@ -547,7 +547,7 @@ def lead_pairing(spark, sf_dir):
     "tumbling_window",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           COUNT(*) AS n, SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+           COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -565,7 +565,7 @@ def tumbling_window(spark, sf_dir):
 @q(
     "json_extract",
     """
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -582,7 +582,7 @@ def json_extract(spark, sf_dir):
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation, COUNT(*) AS n_orders,
-           SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -695,7 +695,7 @@ def mode_event_type(spark, sf_dir):
     """
     SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
            COUNT(*) AS n_orders,
-           SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders GROUP BY 1
     """,
 )
@@ -814,7 +814,7 @@ def kwic(spark, sf_dir):
     "orders_ratio",
     """
     SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_known,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
            COUNT(*) AS n_total,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS known_ratio
     FROM orders GROUP BY 1
@@ -1015,7 +1015,7 @@ def token_positions(spark, sf_dir):
     """
     SELECT c_custkey, c_name, n_orders, revenue_cents FROM (
       SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
-             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM orders GROUP BY o_custkey) r
     JOIN customer USING (c_custkey)
     ORDER BY revenue_cents DESC, c_custkey LIMIT 10
@@ -1042,9 +1042,9 @@ def top_revenue_customers(spark, sf_dir):
     "moving_sum",
     """
     SELECT event_id, user_id,
-           SUM(CAST(round(value*100) AS BIGINT))
+           CAST(SUM(CAST(round(value*100) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_cents
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
     FROM events
     """,
 )
@@ -1129,9 +1129,9 @@ def weighted_sample(spark, sf_dir):
       SELECT vec_id, generate_subscripts(embedding,1) AS i,
              CAST(round(unnest(embedding)*1000) AS BIGINT) AS q
       FROM embeddings),
-    norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM qv GROUP BY vec_id),
+    norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q*b.q) AS dot
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(SUM(a.q*b.q) AS BIGINT) AS dot
       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id)
     SELECT vec_a, vec_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b

@@ -1,7 +1,14 @@
 """Local replica of the driver's correctness gate: run every
 queries() entry on Spark and its oracle_sql() twin on DuckDB over the
 same parquet tables, then compare row count + column names + sorted
-value multiset (order-insensitive, like the driver's value-hash)."""
+value multiset (order-insensitive, like the driver's value-hash).
+
+IMPORTANT (round-1 lesson): both sides are fetched through PANDAS,
+because that is the representation the driver hashes. DuckDB returns
+SUM(BIGINT) as HUGEINT, which pandas fetch renders as float64 — so an
+un-CAST oracle sum shows up here as '93182.0' vs Spark's '93182' and
+FAILS, exactly as it fails the driver gate. fetchall() (python ints)
+would mask that class of bug."""
 
 from __future__ import annotations
 
@@ -22,16 +29,30 @@ TABLES = [
 
 
 def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
+    # pd.isna on scalars; arrays/lists are not NA-checkable
+    try:
+        import pandas as pd
+
+        if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, bool):
         return str(v)
+    if isinstance(v, float):  # includes np.float64 (subclass of float)
+        if math.isnan(v):
+            return "NaN"
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        v = v.replace(tzinfo=None)
+        # DuckDB fetchdf renders DATE as midnight datetime64; Spark keeps
+        # datetime.date — fold midnight to date-only so both sides agree
+        # (the driver gate accepted this pairing in round 1).
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v) if v is not None else "\x00NULL"
 
 
@@ -52,21 +73,22 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    scols = [c.lower() for c in sdf.columns]
-    srows = sdf.collect()
-
-    ores = ddb.execute(ORACLES[name]).fetchall()
-    ocols = [d[0].lower() for d in ddb.description]
+    # Fetch BOTH sides through pandas — the driver's hashed representation.
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    opdf = ddb.execute(ORACLES[name]).fetchdf()
+    scols = [c.lower() for c in spdf.columns]
+    ocols = [c.lower() for c in opdf.columns]
 
     assert sorted(scols) == sorted(ocols), f"{name}: columns {scols} vs {ocols}"
-    assert len(srows) == len(ores), f"{name}: rowcount {len(srows)} vs {len(ores)}"
+    assert len(spdf) == len(opdf), f"{name}: rowcount {len(spdf)} vs {len(opdf)}"
 
     # order-insensitive compare: sort columns by name, then rows
     s_ix = sorted(range(len(scols)), key=lambda i: scols[i])
     o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    srows = list(spdf.itertuples(index=False, name=None))
+    orows = list(opdf.itertuples(index=False, name=None))
     s_set = sorted(tuple(_norm_cell(r[i]) for i in s_ix) for r in srows)
-    o_set = sorted(tuple(_norm_cell(r[i]) for i in o_ix) for r in ores)
+    o_set = sorted(tuple(_norm_cell(r[i]) for i in o_ix) for r in orows)
     if s_set != o_set:
         diffs = [
             (a, b) for a, b in zip(s_set, o_set) if a != b
