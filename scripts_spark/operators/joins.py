@@ -40,7 +40,14 @@ def fuzzy_match_cascade(facts: DataFrame, dim: DataFrame, fact_key: str,
             .withColumn("match_priority", F.lit(prio))
         )
         matched = m if matched is None else matched.unionByName(m)
-    w = Window.partitionBy(fact_key).orderBy("match_priority")
+    # deterministic arbitration: priority first, then every dim-side
+    # column (sorted by name) as tie-break — a fact matching two dim
+    # rows at the same best priority always keeps the same one
+    dim_cols = sorted(
+        c for c in matched.columns
+        if c not in set(facts.columns) and c not in ("match_stage", "match_priority")
+    )
+    w = Window.partitionBy(fact_key).orderBy("match_priority", *dim_cols)
     best = (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

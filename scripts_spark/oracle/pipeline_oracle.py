@@ -58,8 +58,8 @@ def repair(p: str) -> str:
 def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, dict]:
     cfg = cfg or OracleConfig()
 
-    # url dedup: keep min (warc_ts, text) — mirrors the pipeline's
-    # row_number window ordered by (warc_ts, text)
+    # url dedup: keep min (warc_ts, coalesce(text,'')) — mirrors the
+    # pipeline's groupBy(url).min(struct(warc_ts, text))
     by_url: dict[str, dict] = {}
     for r in rows:
         cur = by_url.get(r["url"])

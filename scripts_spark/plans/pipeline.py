@@ -5,7 +5,7 @@ Re-expresses the reference post-pipeline
 (/root/reference/src/cur-prot/post-pipeline.py:135-146 — eleven full
 corpus passes, one subprocess each) as a single declarative plan:
 
-    scan → url-dedup → salted bucket repartition →
+    scan → url-dedup (map-side-combined min) → salted repartition →
     per-row paragraph repair (array-side, zero shuffle) →
     domain-boilerplate detection (the one genuine cross-doc agg) →
     broadcast boiler-set back → per-row strip + PII scrub +
@@ -40,7 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from itertools import chain
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from scripts_spark.functions import ids, langid, langmodel, perplexity, scoring_join, scoring_udf, text_kernel
 from scripts_spark.sources.pages import domain_of
@@ -69,6 +69,10 @@ class CurateConfig:
     boiler_doc_den: int = 2
     num_buckets: int = 64
     salt: int = 0
+    # physical shuffle partitions for the scoring stage; None → sized
+    # at runtime to max(num_buckets, 4x cores). Independent of
+    # num_buckets, which is only the commit/manifest unit.
+    target_partitions: int | None = None
     input_snapshot: str = "fixture-v1"
     persist_intermediate: bool = True
     scorer: str = "arrow"  # "arrow" | "join"
@@ -91,25 +95,63 @@ def _repair_line(line: Column) -> Column:
     )
 
 
+def _target_partitions(pages: DataFrame, cfg: CurateConfig) -> int:
+    """Physical parallelism for the scoring stage: decoupled from
+    num_buckets (the commit/manifest unit), sized to ~4x cores so the
+    stage scales with the cluster instead of capping at 64 tasks."""
+    if cfg.target_partitions is not None:
+        return cfg.target_partitions
+    cores = pages.sparkSession.sparkContext.defaultParallelism
+    return max(cfg.num_buckets, 4 * cores)
+
+
 def deduped_docs(pages: DataFrame, cfg: CurateConfig) -> DataFrame:
-    """url-dedup (deterministic winner: min (warc_ts, text)), salted
-    bucket assignment + explicit repartition, repaired paragraph array."""
-    w = Window.partitionBy("url").orderBy("warc_ts", "text")
+    """url-dedup (deterministic winner: min (warc_ts, coalesce(text,''))),
+    salted bucket assignment + explicit repartition, repaired paragraph
+    array.
+
+    Scale notes:
+    - the html payload is projected OUT before the dedup shuffle — the
+      exchange carries only (url, warc_ts, text), not ~half the corpus
+      bytes of html the pipeline never reads;
+    - dedup is groupBy(url).min(struct(warc_ts, text)) rather than a
+      row_number window: min() partial-aggregates map-side, so each
+      input partition ships at most one candidate row per url instead
+      of every duplicate crossing the wire;
+    - text is coalesced to '' INSIDE the min so null and empty text
+      rank identically to the oracle (pipeline_oracle maps None→'');
+    - the post-dedup repartition spreads each bucket over
+      target_partitions/num_buckets intra-bucket salt slices, so one
+      hot bucket (Zipfian domain skew) cannot serialize a stage."""
+    best = (
+        pages.select(
+            "url",
+            F.struct(
+                F.col("warc_ts"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            ).alias("_wt"),
+        )
+        .groupBy("url")
+        .agg(F.min("_wt").alias("_wt"))
+    )
     docs = (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        best.select("url", F.col("_wt.warc_ts").alias("warc_ts"), F.col("_wt.text").alias("text"))
         .withColumn(
             "bucket",
             F.pmod(F.xxhash64(F.col("url"), F.lit(cfg.salt)), F.lit(cfg.num_buckets)),
         )
         .withColumn("domain", domain_of(F.col("url")))
     )
-    docs = docs.repartition(cfg.num_buckets, "bucket")
-    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    n_parts = _target_partitions(pages, cfg)
+    intra_salt = F.pmod(
+        F.xxhash64(F.col("url"), F.lit(cfg.salt + 1)),
+        F.lit(max(1, n_parts // cfg.num_buckets)),
+    )
+    docs = docs.repartition(n_parts, F.col("bucket"), intra_salt)
+    lines = F.split(F.col("text"), "\n")
     repaired = F.filter(F.transform(lines, _repair_line), lambda p: p != "")
-    # shed the wide inputs immediately: html payload and raw text do
-    # not travel past the repair pass
+    # shed the wide inputs immediately: raw text does not travel past
+    # the repair pass
     return docs.withColumn("paras", repaired).select(
         "url", "warc_ts", "bucket", "domain", "paras"
     )

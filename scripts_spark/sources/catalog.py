@@ -8,9 +8,23 @@ sandbox"). The job-facing API is identical in both modes:
     remaining = anti_join(input, manifest)      # resume
     write_bucket(...); append_manifest(bucket)  # commit unit
 
-A killed run resumes from the last committed bucket; reruns are
+The commit unit is ``(job_id, bucket)``:
+
+- ``job_id`` scopes the unit to one logical job run — 0 for plain batch
+  jobs, the micro-batch id for streaming, so later micro-batches are
+  never skipped just because an earlier batch touched the same bucket;
+- the data write targets ``data/job_id=J/bucket=B`` with DYNAMIC
+  partition overwrite, so a crash between the data write and the
+  manifest append leaves orphan files that the retry REPLACES instead
+  of appending next to (no duplicate rows on resume);
+- the manifest append is the commit point; ``read_output`` returns only
+  rows whose (job_id, bucket) has a manifest row, so orphans from a
+  mid-commit crash are invisible even before the retry runs.
+
+A killed run resumes from the last committed unit; reruns are
 idempotent because outputs are deterministic (content-hash ids, seeded
-everything) — proven by tests/test_resume.py.
+everything) — proven by tests/test_resume.py including a simulated
+mid-commit crash (data written, manifest missing).
 
 The reference's analog is download/convert caching + skip-if-exists
 (/root/reference/src/add_modern_pagenumbers.py:57-74) and the
@@ -23,7 +37,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-MANIFEST_SCHEMA = "bucket long, n_rows long, n_kept long, commit_seq long"
+MANIFEST_SCHEMA = "job_id long, bucket long, n_rows long, n_kept long, commit_seq long"
 
 
 def manifest_path(base: str) -> str:
@@ -38,27 +52,40 @@ def read_manifest(spark: SparkSession, base: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
-def completed_buckets(spark: SparkSession, base: str) -> set[int]:
-    return {r["bucket"] for r in read_manifest(spark, base).collect()}
+def completed_buckets(spark: SparkSession, base: str, job_id: int = 0) -> set[int]:
+    m = read_manifest(spark, base).filter(F.col("job_id") == job_id)
+    return {r["bucket"] for r in m.collect()}
 
 
-def remaining_buckets(decisions: DataFrame, base: str) -> DataFrame:
-    """Resume = anti-join against the committed-bucket manifest."""
-    m = read_manifest(decisions.sparkSession, base).select("bucket")
+def remaining_buckets(decisions: DataFrame, base: str, job_id: int = 0) -> DataFrame:
+    """Resume = anti-join against this job's committed-bucket manifest."""
+    m = (
+        read_manifest(decisions.sparkSession, base)
+        .filter(F.col("job_id") == job_id)
+        .select("bucket")
+    )
     return decisions.join(F.broadcast(m), "bucket", "left_anti")
 
 
-def commit_buckets(decisions: DataFrame, base: str) -> dict[str, int]:
-    """Write all not-yet-committed buckets: data partitioned by bucket,
-    then one manifest row per bucket with its metrics. The manifest
-    append is the commit point (crash before it ⇒ bucket rewritten on
-    resume; outputs are deterministic so the rewrite is identical)."""
+def commit_buckets(decisions: DataFrame, base: str, job_id: int = 0) -> dict[str, int]:
+    """Write all not-yet-committed buckets of ``job_id``: data under
+    data/job_id=J/bucket=B via dynamic partition overwrite, then one
+    manifest row per bucket with its metrics. The manifest append is
+    the commit point; a crash before it leaves orphan partition dirs
+    that (a) read_output never surfaces (manifest semi-join) and
+    (b) the resumed run overwrites in place (same deterministic rows)."""
     # persist the delta: the data write, per-bucket metrics, and the
     # manifest commit are three actions — without a checkpoint the full
     # upstream plan (repair + boilerplate + langid + ppx) would run 3x
-    todo = remaining_buckets(decisions, base).persist()
+    todo = remaining_buckets(decisions, base, job_id).persist()
     try:
-        todo.write.mode("append").partitionBy("bucket").parquet(os.path.join(base, "data"))
+        (
+            todo.withColumn("job_id", F.lit(job_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("job_id", "bucket")
+            .parquet(os.path.join(base, "data"))
+        )
         metrics = todo.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -69,7 +96,7 @@ def commit_buckets(decisions: DataFrame, base: str) -> dict[str, int]:
             prev = read_manifest(spark, base).agg(F.max("commit_seq")).collect()[0][0]
             seq = (prev if prev is not None else -1) + 1
             stamped = [
-                (r["bucket"], r["n_rows"], r["n_kept"], seq) for r in rows
+                (job_id, r["bucket"], r["n_rows"], r["n_kept"], seq) for r in rows
             ]
             spark.createDataFrame(stamped, MANIFEST_SCHEMA).coalesce(1).write.mode(
                 "append"
@@ -80,14 +107,15 @@ def commit_buckets(decisions: DataFrame, base: str) -> dict[str, int]:
 
 
 def read_output(spark: SparkSession, base: str, as_of: int | None = None) -> DataFrame:
-    """Committed rows only; ``as_of`` reads the snapshot as of a commit
-    sequence (Iceberg time-travel semantics on the manifest: buckets
-    committed with commit_seq <= as_of)."""
+    """Committed rows only: semi-join on the (job_id, bucket) commit
+    unit, so orphan files from a mid-commit crash never surface.
+    ``as_of`` reads the snapshot as of a commit sequence (Iceberg
+    time-travel semantics on the manifest: commit_seq <= as_of)."""
     out = spark.read.parquet(os.path.join(base, "data"))
     m = read_manifest(spark, base)
     if as_of is not None:
         m = m.filter(F.col("commit_seq") <= as_of)
-    return out.join(F.broadcast(m.select("bucket")), "bucket", "left_semi")
+    return out.join(F.broadcast(m.select("job_id", "bucket")), ["job_id", "bucket"], "left_semi")
 
 
 def snapshots(spark: SparkSession, base: str) -> DataFrame:

@@ -236,10 +236,13 @@ def gen_rows(indexes, seed: int = 42) -> list[dict]:
     return [gen_row(int(i), seed) for i in indexes]
 
 
-def pages_df(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic generation: spark.range → mapInPandas."""
+def pages_df(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None,
+             start: int = 0) -> DataFrame:
+    """Distributed deterministic generation: spark.range → mapInPandas.
+    ``start`` offsets the global row index — disjoint [start, start+n)
+    ranges yield disjoint url sets (incremental "crawl drops")."""
     parts = partitions or max(8, spark.sparkContext.defaultParallelism)
-    rng = spark.range(0, n, 1, parts)
+    rng = spark.range(start, start + n, 1, parts)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -33,17 +33,22 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 
 def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   checkpoint_dir: str, cfg: CurateConfig | None = None,
-                  available_now: bool = True):
+                  available_now: bool = True,
+                  max_files_per_trigger: int | None = None):
     """File-source stream → batch curate per micro-batch → manifest
     commit. Returns the started StreamingQuery."""
     cfg = cfg or CurateConfig()
-    stream = read_pages_stream(spark, input_dir)
+    stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         dec = curate(batch_df, cfg)
-        catalog.commit_buckets(dec, out_dir)
+        # the commit unit is (job_id=batch_id, bucket): a replayed
+        # micro-batch resumes its own partial commit, while a NEW batch
+        # whose documents hash into buckets an earlier batch already
+        # committed is still written in full (no cross-batch skipping)
+        catalog.commit_buckets(dec, out_dir, job_id=batch_id)
 
     w = (
         stream.writeStream.foreachBatch(_process)

@@ -88,20 +88,36 @@ def tmpdirs():
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_stream_curate_matches_batch(spark, tmpdirs):
+def test_stream_curate_two_drops_no_data_loss(spark, tmpdirs):
+    """Two DISJOINT crawl drops arriving as separate micro-batches:
+    every document of BOTH batches must be committed (regression test
+    for the bucket-keyed manifest silently dropping all of batch 2
+    because batch 1 had already committed every bucket id)."""
     in_dir, out_dir, ckpt, _ = tmpdirs
     cfg = CurateConfig(num_buckets=8)
-    # two "crawl drops" as separate files
-    pages_df(spark, 120, partitions=2).write.mode("append").parquet(in_dir)
-    pages_df(spark, 120, partitions=2).filter(F.col("url").contains("page-")).limit(0)
+    # drop 1 arrives; process everything available
+    d1 = pages_df(spark, 120, partitions=1, start=0)
+    d1.write.mode("append").parquet(in_dir)
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg)
+    q.awaitTermination(120)
+    n1 = catalog.read_output(spark, out_dir).count()
+    assert n1 == curate(d1, cfg).count() > 0
+    # drop 2 (disjoint urls) arrives later; restart the stream on the
+    # same checkpoint — only the new file is processed, as a NEW batch
+    d2 = pages_df(spark, 120, partitions=1, start=120)
+    d2.write.mode("append").parquet(in_dir)
     q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg)
     q.awaitTermination(120)
     out = catalog.read_output(spark, out_dir)
-    batch = curate(spark.read.parquet(in_dir), cfg)
-    assert out.count() == batch.count()
+    # per-batch semantics: output == union of batch-curating each drop
+    want = {
+        (r["url"], r["doc_id"])
+        for d in (d1, d2)
+        for r in curate(d, cfg).select("url", "doc_id").collect()
+    }
     got = {(r["url"], r["doc_id"]) for r in out.select("url", "doc_id").collect()}
-    want = {(r["url"], r["doc_id"]) for r in batch.select("url", "doc_id").collect()}
     assert got == want
+    assert out.count() == len(want)  # no duplicates either
 
 
 def test_windowed_event_counts_stream(spark, tmpdirs):

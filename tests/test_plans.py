@@ -54,14 +54,14 @@ def test_semi_and_anti_joins(spark):
 
 def test_curate_shuffle_budget(spark):
     """The pipeline's shuffle count is a scale budget: url-dedup
-    window, salted bucket repartition, boilerplate (domain,line) agg
-    + domain agg + broadcast back, and the final decision join against
-    the (already bucket-partitioned) doc frame. Alert on growth."""
+    groupBy (map-side combined), salted repartition, boilerplate
+    (domain,line) agg + domain agg + broadcast back, and the final
+    decision join against the doc frame. Alert on growth."""
     dec = curate(pages_df(spark, 50, partitions=2), CurateConfig(num_buckets=4))
     plan = _plan(dec)
     # count DISTINCT exchanges (a cached subtree's exchange prints once
-    # per consuming branch but executes once): url-dedup window,
-    # salted bucket repartition, (domain,line) count, domain count,
+    # per consuming branch but executes once): url-dedup groupBy,
+    # salted repartition, (domain,line) count, domain count,
     # plus two broadcasts of the tiny boiler results
     import re
 
@@ -70,6 +70,40 @@ def test_curate_shuffle_budget(spark):
     assert plan.count("InMemoryTableScan") >= 3  # repair runs once
     # model scoring must reach the data as a pandas UDF, not a join
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    # the url-dedup agg must partial-aggregate map-side (one candidate
+    # per url per input partition crosses the wire, not every dup row)
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan
+
+
+def test_curate_prunes_html_at_scan(spark, tmp_path):
+    """The html binary (~half the corpus bytes) must never leave the
+    scan: the dedup shuffle carries only (url, warc_ts, text)."""
+    p = str(tmp_path / "pages")
+    pages_df(spark, 60, partitions=2).write.parquet(p)
+    dec = curate(spark.read.parquet(p), CurateConfig(num_buckets=4))
+    plan = _formatted(dec)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs, "no parquet scan in plan"
+    assert all("html:" not in l for l in rs), rs
+    # and no plan node anywhere carries an html column ("html:binary")
+    assert "html:" not in _plan(dec)
+
+
+def test_curate_parallelism_not_capped_by_buckets(spark):
+    """Physical parallelism is decoupled from the commit unit: with
+    num_buckets=4 the scoring stage still fans out to target_partitions
+    tasks (hot buckets are split by the intra-bucket salt)."""
+    cfg = CurateConfig(num_buckets=4, target_partitions=16)
+    dec = curate(pages_df(spark, 200, partitions=4), cfg)
+    assert dec.rdd.getNumPartitions() >= 16
+    # every bucket occupies >1 physical partition (salt actually varies)
+    per_part = (
+        dec.withColumn("pid", F.spark_partition_id())
+        .groupBy("bucket")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .collect()
+    )
+    assert all(r["n_pids"] > 1 for r in per_part), per_part
 
 
 def test_curate_boiler_broadcast(spark):

@@ -56,6 +56,31 @@ def test_resume_after_partial_commit(spark, outdir):
         shutil.rmtree(clean, ignore_errors=True)
 
 
+def test_mid_commit_crash_leaves_no_duplicates(spark, outdir):
+    """Crash BETWEEN the data write and the manifest append: the orphan
+    bucket files must be (a) invisible to read_output and (b) replaced,
+    not appended to, by the resumed run."""
+    dec = _decisions(spark)
+    # simulate the torn commit: bucket 2's data written, manifest never
+    # appended (exactly what catalog.commit_buckets writes, minus the
+    # manifest step)
+    (
+        dec.filter(F.col("bucket") == 2)
+        .withColumn("job_id", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("job_id", "bucket")
+        .parquet(outdir + "/data")
+    )
+    assert catalog.read_output(spark, outdir).count() == 0  # orphan invisible
+
+    stats = catalog.commit_buckets(_decisions(spark), outdir)
+    assert stats["committed_buckets"] == 8  # bucket 2 NOT skipped
+    out = catalog.read_output(spark, outdir)
+    assert out.count() == dec.count()
+    assert out.select("url").distinct().count() == out.count()  # no dups
+
+
 def test_recommit_is_noop(spark, outdir):
     catalog.commit_buckets(_decisions(spark), outdir)
     stats = catalog.commit_buckets(_decisions(spark), outdir)
