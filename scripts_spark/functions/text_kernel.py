@@ -33,6 +33,11 @@ KERNEL_VERSIONS = {
     "fix_capitalized_dashes": "1.0",
     "scrub_pii": "1.0",
     "token_normalize": "1.0",
+    "join_intro_texts": "1.0",
+    "protocol_id": "1.0",
+    "docdate_rewrite": "1.0",
+    "iort_pairs": "1.0",
+    "fold_names": "1.0",
 }
 
 
@@ -144,3 +149,150 @@ def token_normalize(col: Column) -> Column:
 def tokens(col: Column) -> Column:
     """Whitespace tokens of a (not necessarily normalized) text."""
     return F.filter(F.split(normalize_ws(col), " "), lambda t: t != "")
+
+
+# --- split-intro join kernels ----------------------------------------
+# Parity: /root/reference/src/classify_join_intros.py:27 (the ALLCAPS
+# run class incl. Å/Ä/Ö, space and dash) and :147-164 (the three-branch
+# join of a split intro pair).
+ALLCAPS_PATTERN = "\\b[A-ZÀ-Þ -]{3,}\\b"
+
+
+def allcaps_surname(col: Column) -> Column:
+    """First ALLCAPS run (trimmed) — the hyphen-damaged surname the
+    correction dictionary is keyed on (classify_join_intros.py:157,183)."""
+    return F.trim(F.regexp_extract(col, ALLCAPS_PATTERN, 0))
+
+
+def join_intro_texts(t1: Column, t2: Column) -> Column:
+    """Hyphen-aware join of a split intro pair, reference branch order
+    (classify_join_intros.py:155-163): trailing '-' ⇒ butt-join (the
+    hyphen marks a broken surname), the 'S:'+'T ' OCR split of 'S:T'
+    (Sankt) ⇒ butt-join, else space-join. Inputs are whitespace-
+    normalized first (the reference's strip_whitespace)."""
+    a, b = normalize_ws(t1), normalize_ws(t2)
+    return (
+        F.when(a.endswith("-"), F.concat(a, b))
+        .when(a.endswith(" S:") & b.startswith("T "), F.concat(a, b))
+        # ' '.join([t1, t2]) semantics: a single space even when one
+        # side is empty (reference line 162)
+        .otherwise(F.concat(a, F.lit(" "), b))
+    )
+
+
+def correct_allcaps(intro: Column, correct: Column) -> Column:
+    """Replace every ALLCAPS run with ' ' + the dictionary correction —
+    exactly the reference's re.sub(allcaps, f' {D[m]["correct"]}', intro)
+    (classify_join_intros.py:159). ``correct`` is null-safe: null ⇒
+    intro unchanged (surname not in the dictionary)."""
+    return F.when(
+        correct.isNotNull(),
+        F.regexp_replace(intro, F.lit(ALLCAPS_PATTERN), F.concat(F.lit(" "), correct)),
+    ).otherwise(intro)
+
+
+# --- protocol-id surgery ---------------------------------------------
+def protocol_id_build(year: Column, num: Column) -> Column:
+    """'prot-' + year-without-slash + '--' + id, then ALL hyphens → '_'
+    (replace_dates.py:20-23: the pandas str.replace chain)."""
+    raw = F.concat(
+        F.lit("prot-"), F.replace(year, F.lit("/"), F.lit("")), F.lit("--"), num.cast("string")
+    )
+    return F.replace(raw, F.lit("-"), F.lit("_"))
+
+
+def protocol_id_pad(col: Column) -> Column:
+    """'_' → '-' and zero-pad the trailing protocol number to 3 digits
+    (segmentation_accuracy_estimate.py:77-86)."""
+    pid = F.replace(col, F.lit("_"), F.lit("-"))
+    num = F.regexp_extract(pid, "([0-9]+)$", 1)
+    head = F.substr(pid, F.lit(1), F.length(pid) - F.length(num))
+    return F.concat(head, F.lpad(num, 3, "0"))
+
+
+# --- docDate rewrite --------------------------------------------------
+# replace_dates.py:41-42: the '<docDate when="Y-M-D">Y-M-D</docDate>'
+# element is rewritten to the scraped date (first space-separated field).
+DOCDATE_PATTERN = (
+    '<docDate when="[0-9]{4}-[0-9]{2}-[0-9]{2}">'
+    "[0-9]{4}-[0-9]{2}-[0-9]{2}</docDate>"
+)
+
+
+def docdate_rewrite(xml: Column, scraped_date: Column) -> Column:
+    d = F.split(scraped_date, " ")[0]
+    repl = F.concat(F.lit('<docDate when="'), d, F.lit('">'), d, F.lit("</docDate>"))
+    return F.regexp_replace(xml, F.lit(DOCDATE_PATTERN), repl)
+
+
+# --- i-ort splitting ---------------------------------------------------
+def iort_pairs(col: Column) -> Column:
+    """'Surname i Ort[, senare Ort2, Ort3 och Ort4]' → array of
+    (surname, iort) structs (generate_i-ort_testfile.py:15-47): the
+    part before 'senare' yields (surname, first ort); the remainder is
+    split on ',', ' o ' and ' och ', each piece loses a leading
+    'åter ' and is trimmed. Unlike the reference we drop pieces that
+    trim to '' (the reference's `if c:` check runs pre-strip, so a
+    lone space could slip through as an empty ort — a bug, not a
+    semantic)."""
+    has_senare = col.contains("senare")
+    primary = F.btrim(F.btrim(F.substring_index(col, "senare", 1), F.lit(" ")), F.lit(","))
+    base = F.when(has_senare, primary).otherwise(
+        # fallback ' I ' separator when lowercase ' i ' is absent
+        F.when(col.contains(" i "), col).otherwise(F.replace(col, F.lit(" I "), F.lit(" i ")))
+    )
+    surname = F.substring_index(base, " i ", 1)
+    ort1 = F.substr(base, F.length(surname) + F.lit(4))
+    rest = F.substr(col, F.instr(col, "senare") + F.lit(6))
+    pieces = F.flatten(F.transform(F.split(rest, ","), lambda a: F.split(a, " o ")))
+    pieces = F.flatten(F.transform(pieces, lambda b: F.split(b, " och ")))
+    orter = F.filter(
+        F.transform(
+            pieces,
+            lambda c: F.trim(
+                F.when(c.startswith("åter "), F.substr(c, F.lit(6))).otherwise(c)
+            ),
+        ),
+        lambda o: o != "",
+    )
+    extra = F.when(has_senare, orter).otherwise(F.array().cast("array<string>"))
+    all_orter = F.concat(F.array(F.trim(ort1)), extra)
+    return F.transform(
+        all_orter,
+        lambda o: F.struct(F.trim(surname).alias("surname"), o.alias("iort")),
+    )
+
+
+# --- metadata kernels (wikidata_query.py) -----------------------------
+def role_ledamot(col: Column) -> Column:
+    """Extract the '...ledamot' role word (wikidata_query.py:95)."""
+    return F.regexp_extract(col, "([A-Za-zÀ-ÿ]*ledamot)", 1)
+
+
+def role_minister_clean(col: Column) -> Column:
+    """Drop 'Sveriges' and trim (wikidata_query.py:92)."""
+    return F.trim(F.replace(col, F.lit("Sveriges"), F.lit("")))
+
+
+def gender_map(col: Column) -> Column:
+    """kvinna→woman, man→man, anything else → null — pandas .map
+    semantics (wikidata_query.py:88: unmapped values become NaN)."""
+    return (
+        F.when(col == "kvinna", F.lit("woman"))
+        .when(col == "man", F.lit("man"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+# --- name cleaning for fuzzy matching ---------------------------------
+# The reference cleans names before matching (fuzzy_matching.py:35,56
+# via match_mp.clean_names): lowercase, fold the Scandinavian/accented
+# letters to ASCII, drop everything but [a-z ], collapse whitespace.
+_FOLD_SRC = "åäæöøéèêëüûáàâíìîóòôýÿç"
+_FOLD_DST = "aaaooeeeeuuaaaiiioooyyc"
+
+
+def fold_names(col: Column) -> Column:
+    out = F.translate(F.lower(col), _FOLD_SRC, _FOLD_DST)
+    out = F.regexp_replace(out, "[^a-z ]", " ")
+    return normalize_ws(out)

@@ -174,3 +174,51 @@ def top_k_per_stratum(df: DataFrame, strata: list[str], order_by: list[Column], 
     """W14: deterministic top-k slice per stratum."""
     w = Window.partitionBy(*strata).orderBy(*order_by)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def find_toc(segs: DataFrame) -> DataFrame:
+    """W13 ToC extraction
+    (/root/reference/src/ToC/delimit-ToC_2014--.py:25-98): the heading
+    is the first element whose trimmed, lowercased text equals
+    'innehållsförteckning'; the ToC starts at the LAST pb at or before
+    the heading and runs to the end of the body (once the heading is
+    seen the reference appends every subsequent element and every
+    subsequent div into the new ToC div). Per-document status mirrors
+    the reference's bookkeeping lists:
+
+      'ok'         — heading found with a preceding pb,
+      'missing_pb' — heading found but no pb before it (the FAIL
+                     branch that aborts extraction),
+      'no_toc'     — no heading in the document.
+
+    Adds (status, in_toc) to the segments frame; both window passes
+    share the per-url partitioning, so this costs one shuffle."""
+    dw = Window.partitionBy("url")
+    is_heading = F.lower(F.trim(F.col("text"))) == "innehållsförteckning"
+    segs = segs.withColumn(
+        "_heading_pos", F.min(F.when(is_heading, F.col("pos"))).over(dw)
+    )
+    segs = segs.withColumn(
+        "_pb_pos",
+        F.max(
+            F.when(
+                (F.col("elem_type") == "pb") & (F.col("pos") <= F.col("_heading_pos")),
+                F.col("pos"),
+            )
+        ).over(dw),
+    )
+    status = (
+        F.when(F.col("_heading_pos").isNull(), F.lit("no_toc"))
+        .when(F.col("_pb_pos").isNull(), F.lit("missing_pb"))
+        .otherwise(F.lit("ok"))
+    )
+    in_toc = (
+        F.col("_heading_pos").isNotNull()
+        & F.col("_pb_pos").isNotNull()
+        & (F.col("pos") >= F.col("_pb_pos"))
+    )
+    return (
+        segs.withColumn("status", status)
+        .withColumn("in_toc", in_toc)
+        .drop("_heading_pos", "_pb_pos")
+    )

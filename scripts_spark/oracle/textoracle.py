@@ -74,3 +74,95 @@ def token_normalize(word: str) -> str:
 
 def tokens(t: str) -> list[str]:
     return [w for w in normalize_ws(t).split(" ") if w != ""]
+
+
+# --- split-intro join (classify_join_intros.py:27,147-164) -----------
+_ALLCAPS = re.compile(r"\b[A-ZÀ-Þ -]{3,}\b")
+
+
+def allcaps_surname(t: str) -> str:
+    m = _ALLCAPS.search(t)
+    return m.group(0).strip() if m else ""
+
+
+def join_intro_texts(t1: str, t2: str) -> str:
+    a, b = normalize_ws(t1), normalize_ws(t2)
+    if a.endswith("-"):
+        return a + b
+    if a.endswith(" S:") and b.startswith("T "):
+        return a + b
+    return a + " " + b
+
+
+def correct_allcaps(intro: str, correct: str | None) -> str:
+    if correct is None:
+        return intro
+    return _ALLCAPS.sub(" " + correct, intro)
+
+
+# --- protocol-id surgery ----------------------------------------------
+def protocol_id_build(year: str, num) -> str:
+    return ("prot-" + year.replace("/", "") + "--" + str(num)).replace("-", "_")
+
+
+def protocol_id_pad(pid: str) -> str:
+    pid = pid.replace("_", "-")
+    m = re.search(r"([0-9]+)$", pid)
+    num = m.group(1) if m else ""
+    return pid[: len(pid) - len(num)] + num.zfill(3)
+
+
+# --- docDate rewrite (replace_dates.py:41-42) --------------------------
+_DOCDATE = re.compile(
+    r'<docDate when="[0-9]{4}-[0-9]{2}-[0-9]{2}">[0-9]{4}-[0-9]{2}-[0-9]{2}</docDate>'
+)
+
+
+def docdate_rewrite(xml: str, scraped_date: str) -> str:
+    d = scraped_date.split(" ")[0]
+    return _DOCDATE.sub(f'<docDate when="{d}">{d}</docDate>', xml)
+
+
+# --- i-ort splitting (generate_i-ort_testfile.py:15-47) ----------------
+def iort_pairs(s: str) -> list[tuple[str, str]]:
+    if "senare" in s:
+        primary, rest = s.split("senare", 1)
+        primary = primary.strip(" ").strip(",")
+        surname, ort1 = primary.split(" i ", 1)
+        orter = []
+        for a in rest.split(","):
+            for b in a.split(" o "):
+                for c in b.split(" och "):
+                    if c.startswith("åter "):
+                        c = c[5:]
+                    c = c.strip()
+                    if c:
+                        orter.append(c)
+        return [(surname.strip(), ort1.strip())] + [(surname.strip(), o) for o in orter]
+    base = s if " i " in s else s.replace(" I ", " i ")
+    surname, ort = base.split(" i ", 1)
+    return [(surname.strip(), ort.strip())]
+
+
+# --- metadata kernels (wikidata_query.py:88,92,95) ----------------------
+def role_ledamot(t: str) -> str:
+    m = re.search("([A-Za-zÀ-ÿ]*ledamot)", t)
+    return m.group(1) if m else ""
+
+
+def role_minister_clean(t: str) -> str:
+    return t.replace("Sveriges", "").strip()
+
+
+def gender_map(t: str) -> str | None:
+    return {"kvinna": "woman", "man": "man"}.get(t)
+
+
+# --- name cleaning -------------------------------------------------------
+_FOLD = str.maketrans("åäæöøéèêëüûáàâíìîóòôýÿç", "aaaooeeeeuuaaaiiioooyyc")
+
+
+def fold_names(t: str) -> str:
+    out = t.lower().translate(_FOLD)
+    out = re.sub("[^a-z ]", " ", out)
+    return normalize_ws(out)

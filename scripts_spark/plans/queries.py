@@ -1212,3 +1212,377 @@ def kwic_context(spark, sf_dir):
             "right_context"
         ),
     )
+
+
+# ================== batch 3 (round 2): §2.7 kernel tail ==============
+from scripts_spark.functions import text_kernel as TK  # noqa: E402
+from scripts_spark.operators import windows as W  # noqa: E402
+from scripts_spark.plans import accuracy as ACC  # noqa: E402
+
+
+@q(
+    "kwic_occurrences",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[a-z]*join[a-z]*') AS ms,
+             string_split_regex(text, '[a-z]*join[a-z]*') AS bs
+      FROM documents),
+    x AS (
+      SELECT doc_id, text, i - 1 AS idx, ms[i] AS m, bs[i] AS b
+      FROM base CROSS JOIN UNNEST(generate_series(1, len(ms))) AS s(i)),
+    c AS (
+      SELECT doc_id, text, idx, m,
+             SUM(length(b) + length(m)) OVER (PARTITION BY doc_id ORDER BY idx) AS cum
+      FROM x)
+    SELECT doc_id, CAST(idx AS BIGINT) AS match_idx, m AS match,
+           CAST(cum - length(m) AS BIGINT) AS match_start,
+           CAST(cum AS BIGINT) AS match_end,
+           substr(text, CAST(greatest(cum - length(m) - 45, 0) + 1 AS BIGINT),
+                  CAST(least(cum - length(m), 45) AS BIGINT)) AS left_context,
+           substr(text, CAST(cum + 1 AS BIGINT), 45) AS right_context
+    FROM c
+    """,
+)
+def kwic_occurrences(spark, sf_dir):
+    """KWIC v2 — full reference fidelity
+    (/root/reference/src/KWIC-iter-search.py:32-47): EVERY match
+    occurrence (not one per distinct match string), with integer
+    start/end offsets and symmetric ±45-char context. Positions come
+    from a running sum over (between-segment, match) length pairs —
+    pure Column math + one window, no Python. The reference's
+    negative-slice artifact for matches within the first 45 chars
+    (txt[s-45:s] wraps around in Python) is deliberately NOT
+    reproduced; left context clamps at the string start."""
+    P = "[a-z]*join[a-z]*"
+    d = T(spark, sf_dir, "documents")
+    ms = F.regexp_extract_all("text", F.lit(P), F.lit(0))
+    d = d.select("doc_id", "text", F.split("text", P).alias("bs"), ms.alias("ms"))
+    x = d.select(
+        "doc_id", "text", "bs", F.posexplode("ms").alias("idx", "match")
+    ).withColumn("b", F.element_at("bs", F.col("idx") + 1))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.length("b") + F.length("match")).over(w)
+    x = x.withColumn("cum", cum)
+    start = F.col("cum") - F.length("match")
+    return x.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("match_idx"),
+        "match",
+        start.cast("long").alias("match_start"),
+        F.col("cum").cast("long").alias("match_end"),
+        F.expr(
+            "substr(text, greatest(cum - length(match) - 45, 0) + 1,"
+            " least(cum - length(match), 45))"
+        ).alias("left_context"),
+        F.expr("substr(text, cum + 1, 45)").alias("right_context"),
+    )
+
+
+_TOC_ROWS = [
+    ("p1", 0, "note", "Protokoll 2017/18:101"),
+    ("p1", 1, "pb", None),
+    ("p1", 2, "note", "  Innehållsförteckning  "),
+    ("p1", 3, "seg", "Ärende 1 .... sid 4"),
+    ("p1", 4, "pb", None),
+    ("p1", 5, "seg", "Ärende 2 .... sid 9"),
+    ("p2", 0, "note", "Innehållsförteckning"),
+    ("p2", 1, "seg", "utan pb före rubriken"),
+    ("p3", 0, "note", "Vanlig text"),
+    ("p3", 1, "pb", None),
+    ("p4", 0, "pb", None),
+    ("p4", 1, "seg", "innehållsförteckning"),
+    ("p4", 2, "pb", None),
+    ("p4", 3, "seg", "slut"),
+]
+_TOC_SQL_ROWS = ", ".join(
+    "('%s', %d, '%s', %s)" % (u, p, t, "NULL" if x is None else "'%s'" % x)
+    for (u, p, t, x) in _TOC_ROWS
+)
+
+
+@q(
+    "find_toc_status",
+    f"""
+    WITH e(url, pos, elem_type, text) AS (VALUES {_TOC_SQL_ROWS}),
+    h AS (
+      SELECT url, pos, elem_type,
+             MIN(CASE WHEN lower(trim(text)) = 'innehållsförteckning'
+                      THEN pos END) OVER (PARTITION BY url) AS hpos,
+             text
+      FROM e),
+    p AS (
+      SELECT *, MAX(CASE WHEN elem_type = 'pb' AND pos <= hpos
+                         THEN pos END) OVER (PARTITION BY url) AS pbpos
+      FROM h)
+    SELECT url, CAST(pos AS BIGINT) AS pos, elem_type,
+           CASE WHEN hpos IS NULL THEN 'no_toc'
+                WHEN pbpos IS NULL THEN 'missing_pb'
+                ELSE 'ok' END AS status,
+           (hpos IS NOT NULL AND pbpos IS NOT NULL AND pos >= pbpos) AS in_toc
+    FROM p
+    """,
+)
+def find_toc_status(spark, sf_dir):
+    """W13 ToC extraction as an oracle'd query over a fixed element
+    table covering the ok / missing_pb / no_toc branches
+    (/root/reference/src/ToC/delimit-ToC_2014--.py:25-98)."""
+    segs = spark.createDataFrame(
+        _TOC_ROWS, "url string, pos long, elem_type string, text string"
+    )
+    return W.find_toc(segs).select("url", "pos", "elem_type", "status", "in_toc")
+
+
+_INTRO_ROWS = [
+    ("i1", "Herr ANDERS- ", "SON i Göteborg:"),
+    ("i2", "Fru PETTERS-", "SON:"),
+    ("i3", "Herr talman! Anf. 4 S:", "T Eriksson:"),
+    ("i4", "Statsrådet  LINDQVIST", "yttrade sig."),
+    ("i5", "Herr NILS- ", "QVIST i Lund:"),
+]
+_INTRO_SQL_ROWS = ", ".join(f"('{i}', '{a}', '{b}')" for i, a, b in _INTRO_ROWS)
+_CORR_ROWS = [("ANDERS-SON", "ANDERSSON"), ("PETTERS-SON", "PETTERSSON")]
+_CORR_SQL_ROWS = ", ".join(f"('{w}', '{c}')" for w, c in _CORR_ROWS)
+_ALLCAPS_SQL = r"\b[A-ZÀ-Þ -]{3,}\b"
+
+
+@q(
+    "intro_join",
+    f"""
+    WITH pairs(pair_id, t1, t2) AS (VALUES {_INTRO_SQL_ROWS}),
+    corr(wrong, correct) AS (VALUES {_CORR_SQL_ROWS}),
+    j AS (
+      SELECT pair_id,
+             trim(regexp_replace(t1, '[ \t]+', ' ', 'g')) AS a,
+             trim(regexp_replace(t2, '[ \t]+', ' ', 'g')) AS b
+      FROM pairs),
+    joined AS (
+      SELECT pair_id, a, b,
+             CASE WHEN a LIKE '%-' THEN a || b
+                  WHEN a LIKE '% S:' AND b LIKE 'T %' THEN a || b
+                  ELSE a || ' ' || b END AS intro,
+             (a LIKE '%-') AS hyph
+      FROM j),
+    k AS (
+      SELECT pair_id, intro, hyph,
+             CASE WHEN hyph
+                  THEN trim(regexp_extract(intro, '{_ALLCAPS_SQL}', 0))
+                  END AS surname
+      FROM joined)
+    SELECT pair_id,
+           CASE WHEN k.hyph AND corr.correct IS NOT NULL
+                THEN regexp_replace(intro, '{_ALLCAPS_SQL}', ' ' || corr.correct, 'g')
+                ELSE intro END AS intro,
+           coalesce(surname, '') AS surname
+    FROM k LEFT JOIN corr ON k.surname = corr.wrong
+    """,
+)
+def intro_join(spark, sf_dir):
+    """Hyphen-aware split-intro join + ALLCAPS surname extraction +
+    dictionary correction (classify_join_intros.py:27,147-164): the
+    three-branch join, then — only in the hyphen branch — the damaged
+    ALLCAPS surname is looked up in a (broadcast) correction table and
+    every ALLCAPS run replaced by ' ' + correction."""
+    pairs = spark.createDataFrame(_INTRO_ROWS, "pair_id string, t1 string, t2 string")
+    corr = spark.createDataFrame(_CORR_ROWS, "wrong string, correct string")
+    j = pairs.select(
+        "pair_id",
+        TK.join_intro_texts(F.col("t1"), F.col("t2")).alias("intro"),
+        TK.normalize_ws(F.col("t1")).endswith("-").alias("hyph"),
+    )
+    j = j.withColumn(
+        "surname", F.when(F.col("hyph"), TK.allcaps_surname(F.col("intro")))
+    )
+    out = j.join(F.broadcast(corr), j.surname == corr.wrong, "left")
+    return out.select(
+        "pair_id",
+        F.when(
+            F.col("hyph") & F.col("correct").isNotNull(),
+            TK.correct_allcaps(F.col("intro"), F.col("correct")),
+        )
+        .otherwise(F.col("intro"))
+        .alias("intro"),
+        F.coalesce("surname", F.lit("")).alias("surname"),
+    )
+
+
+_PROT_ROWS = [
+    ("1971/72", 12, '<p><docDate when="1971-03-04">1971-03-04</docDate></p>', "1971-11-30 00:00:00"),
+    ("201718", 101, '<docDate when="2017-01-01">2017-01-01</docDate>', "2018-03-14"),
+    ("1999/2000", 7, "<p>no date here</p>", "2000-05-02 12:00:00"),
+]
+_PROT_SQL_ROWS = ", ".join(
+    "('%s', %d, '%s', '%s')" % r for r in _PROT_ROWS
+)
+
+
+@q(
+    "protocol_ids",
+    f"""
+    WITH src(year, id, xml, scraped) AS (VALUES {_PROT_SQL_ROWS}),
+    b AS (
+      SELECT year, id, xml, scraped,
+             replace('prot-' || replace(year, '/', '') || '--' || CAST(id AS VARCHAR),
+                     '-', '_') AS protocol_id
+      FROM src),
+    p AS (
+      SELECT *, replace(protocol_id, '_', '-') AS pid2 FROM b),
+    n AS (
+      SELECT *, regexp_extract(pid2, '([0-9]+)$', 1) AS num FROM p)
+    SELECT year, CAST(id AS BIGINT) AS id, protocol_id,
+           substr(pid2, 1, length(pid2) - length(num)) || lpad(num, 3, '0') AS padded_id,
+           regexp_replace(xml,
+             '<docDate when="[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}">[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}</docDate>',
+             '<docDate when="' || string_split(scraped, ' ')[1] || '">'
+               || string_split(scraped, ' ')[1] || '</docDate>', 'g') AS xml_fixed
+    FROM n
+    """,
+)
+def protocol_ids(spark, sf_dir):
+    """Protocol-id surgery (replace_dates.py:20-23 build,
+    segmentation_accuracy_estimate.py:77-86 zero-pad) + docDate regex
+    rewrite (replace_dates.py:41-42) in one pass."""
+    src = spark.createDataFrame(
+        _PROT_ROWS, "year string, id long, xml string, scraped string"
+    )
+    pid = TK.protocol_id_build(F.col("year"), F.col("id"))
+    return src.select(
+        "year",
+        "id",
+        pid.alias("protocol_id"),
+        TK.protocol_id_pad(pid).alias("padded_id"),
+        TK.docdate_rewrite(F.col("xml"), F.col("scraped")).alias("xml_fixed"),
+    )
+
+
+_IORT_ROWS = [
+    ("q1", "Andersson i Göteborg"),
+    ("q2", "Larsson i Lund, senare Malmö, Ystad o Trelleborg"),
+    ("q3", "Berg i Umeå senare åter Luleå och Boden"),
+    ("q4", "Ek I Uppsala"),
+]
+_IORT_SQL_ROWS = ", ".join(f"('{i}', '{s}')" for i, s in _IORT_ROWS)
+
+
+@q(
+    "iort_split",
+    f"""
+    WITH src(wiki_id, s) AS (VALUES {_IORT_SQL_ROWS}),
+    base AS (
+      SELECT wiki_id, s, contains(s, 'senare') AS has,
+             CASE WHEN contains(s, 'senare')
+                  THEN trim(trim(string_split(s, 'senare')[1], ' '), ',')
+                  WHEN contains(s, ' i ') THEN s
+                  ELSE replace(s, ' I ', ' i ') END AS prim
+      FROM src),
+    head AS (
+      SELECT wiki_id, s, has,
+             trim(string_split(prim, ' i ')[1]) AS surname,
+             trim(substr(prim, length(string_split(prim, ' i ')[1]) + 4)) AS ort1,
+             CASE WHEN has THEN substr(s, strpos(s, 'senare') + 6) ELSE '' END AS rest
+      FROM base),
+    lists AS (
+      SELECT wiki_id, surname,
+             list_concat(
+               [ort1],
+               CASE WHEN has THEN
+                 list_filter(
+                   list_transform(
+                     flatten(list_transform(
+                       flatten(list_transform(string_split(rest, ','),
+                                              a -> string_split(a, ' o '))),
+                       b -> string_split(b, ' och '))),
+                     c -> trim(CASE WHEN starts_with(c, 'åter ')
+                                    THEN substr(c, 6) ELSE c END)),
+                   o -> o <> '')
+               ELSE [] END) AS orter
+      FROM head)
+    SELECT wiki_id, surname, u.iort
+    FROM lists CROSS JOIN UNNEST(orter) AS u(iort)
+    """,
+)
+def iort_split(spark, sf_dir):
+    """i-ort multi-separator explode
+    (generate_i-ort_testfile.py:15-47): '<surname> i <ort>[, senare
+    <ort2>, <ort3> o <ort4> och <ort5>]' rows fan out to one row per
+    (surname, ort), with 'åter ' prefixes stripped."""
+    src = spark.createDataFrame(_IORT_ROWS, "wiki_id string, s string")
+    return src.select(
+        "wiki_id", F.explode(TK.iort_pairs(F.col("s"))).alias("p")
+    ).select("wiki_id", F.col("p.surname").alias("surname"), F.col("p.iort").alias("iort"))
+
+
+_ROLE_ROWS = [
+    ("r1", "Sveriges statsminister", "man"),
+    ("r2", "riksdagsledamot", "kvinna"),
+    ("r3", "Europaparlamentsledamot", "man"),
+    ("r4", "talman", "okänd"),
+    ("r5", "Sveriges utrikesminister", "kvinna"),
+]
+_ROLE_SQL_ROWS = ", ".join(f"('{i}', '{r}', '{g}')" for i, r, g in _ROLE_ROWS)
+
+
+@q(
+    "role_gender",
+    f"""
+    SELECT rid,
+           coalesce(regexp_extract(role, '([A-Za-zÀ-ÿ]*ledamot)', 1), '') AS role_ledamot,
+           trim(replace(role, 'Sveriges', '')) AS role_clean,
+           CASE WHEN gender = 'kvinna' THEN 'woman'
+                WHEN gender = 'man' THEN 'man' END AS gender_en
+    FROM (VALUES {_ROLE_SQL_ROWS}) AS t(rid, role, gender)
+    """,
+)
+def role_gender(spark, sf_dir):
+    """Role-extraction regex + 'Sveriges' strip + gender value map
+    (wikidata_query.py:88,92,95)."""
+    src = spark.createDataFrame(_ROLE_ROWS, "rid string, role string, gender string")
+    return src.select(
+        "rid",
+        TK.role_ledamot(F.col("role")).alias("role_ledamot"),
+        TK.role_minister_clean(F.col("role")).alias("role_clean"),
+        TK.gender_map(F.col("gender")).alias("gender_en"),
+    )
+
+
+@q(
+    "confusion_matrix",
+    """
+    SELECT event_type AS gold,
+           CASE WHEN value >= 15 THEN 'purchase' ELSE event_type END AS pred,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def confusion_matrix_q(spark, sf_dir):
+    """M4 confusion-matrix pivot (build_classifier.py:156-164) over a
+    deterministic stand-in classifier (value >= 15 ⇒ 'purchase')."""
+    ev = T(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_type").alias("gold"),
+        F.when(F.col("value") >= 15, F.lit("purchase"))
+        .otherwise(F.col("event_type"))
+        .alias("pred"),
+    )
+    return ACC.confusion_matrix(scored)
+
+
+@q(
+    "stable_sort_head",
+    """
+    SELECT doc_id, source, lang FROM documents
+    ORDER BY doc_id, text, lang, source, n_chars
+    LIMIT 25
+    """,
+)
+def stable_sort_head(spark, sf_dir):
+    """O2 git-stable sort-all-columns (wikidata_process.py:14-17):
+    total order over every column in schema order, head slice."""
+    d = T(spark, sf_dir, "documents")
+    from scripts_spark.sources.catalog import git_stable_sort
+
+    return git_stable_sort(d).select("doc_id", "source", "lang").limit(25)

@@ -132,6 +132,13 @@ def snapshots(spark: SparkSession, base: str) -> DataFrame:
     )
 
 
+def git_stable_sort(df: DataFrame) -> DataFrame:
+    """SURVEY O2 (/root/reference/src/wikidata_process.py:14-17): total
+    sort by EVERY column in schema order before writing, so the output
+    file diffs stably under version control."""
+    return df.orderBy(*df.columns)
+
+
 def partition_metrics(decisions: DataFrame) -> DataFrame:
     """Per-partition (bucket) metrics: row counts, keep counts, and one
     column per filter reason — the per-partition visibility the north

@@ -1,0 +1,180 @@
+"""Round-2 kernel tail (SURVEY §2.7) + W13 find_toc + M4 confusion
+matrix: every Spark Column kernel pinned to its pure-Python oracle in
+scripts_spark.oracle.textoracle, golden cases straight from the
+reference semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scripts_spark.functions import text_kernel as TK
+from scripts_spark.operators import windows as W
+from scripts_spark.oracle import textoracle as O
+from scripts_spark.plans import accuracy as ACC
+from scripts_spark.sources.catalog import git_stable_sort
+
+
+def _col1(spark, vals, expr):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    return [r["o"] for r in df.select(expr(F.col("s")).alias("o")).collect()]
+
+
+# --------------------------------------------------- intro-join family
+INTRO_PAIRS = [
+    ("Herr ANDERS- ", "SON i Göteborg:"),
+    ("Fru PETTERS-", "SON:"),
+    ("Herr talman! Anf. 4 S:", "T Eriksson:"),
+    ("Statsrådet  LINDQVIST", "yttrade sig."),
+    ("", "ensam text"),
+    ("bara vänster", ""),
+]
+
+
+def test_join_intro_texts_matches_oracle(spark):
+    df = spark.createDataFrame(INTRO_PAIRS, "t1 string, t2 string")
+    got = [
+        r["o"]
+        for r in df.select(
+            TK.join_intro_texts(F.col("t1"), F.col("t2")).alias("o")
+        ).collect()
+    ]
+    want = [O.join_intro_texts(a, b) for a, b in INTRO_PAIRS]
+    assert got == want
+
+
+ALLCAPS_CASES = [
+    "Herr ANDERS-SON i Göteborg:",
+    "Fru PETTERSSON:",
+    "inga versaler här",
+    "Statsrådet SJÖGREN talade",  # interior Ö works in both regex engines
+]
+
+
+def test_allcaps_surname_matches_oracle(spark):
+    got = _col1(spark, ALLCAPS_CASES, TK.allcaps_surname)
+    assert got == [O.allcaps_surname(s) for s in ALLCAPS_CASES]
+
+
+def test_correct_allcaps(spark):
+    df = spark.createDataFrame(
+        [("Herr ANDERS-SON i Göteborg:", "ANDERSSON"), ("Fru X:", None)],
+        "s string, c string",
+    )
+    got = [
+        r["o"]
+        for r in df.select(
+            TK.correct_allcaps(F.col("s"), F.col("c")).alias("o")
+        ).collect()
+    ]
+    assert got == [
+        O.correct_allcaps("Herr ANDERS-SON i Göteborg:", "ANDERSSON"),
+        O.correct_allcaps("Fru X:", None),
+    ]
+    # the reference's re.sub(' {correct}') swallows the following space
+    assert got[0] == "Herr ANDERSSONi Göteborg:"
+
+
+# --------------------------------------------------- protocol surgery
+def test_protocol_id_build_and_pad(spark):
+    rows = [("1971/72", 12), ("201718", 101), ("1999/2000", 7)]
+    df = spark.createDataFrame(rows, "y string, n long")
+    pid = TK.protocol_id_build(F.col("y"), F.col("n"))
+    got = df.select(pid.alias("b"), TK.protocol_id_pad(pid).alias("p")).collect()
+    for (y, n), r in zip(rows, got):
+        assert r["b"] == O.protocol_id_build(y, n)
+        assert r["p"] == O.protocol_id_pad(O.protocol_id_build(y, n))
+    assert got[0]["b"] == "prot_197172__12"
+    assert got[0]["p"] == "prot-197172--012"
+
+
+def test_docdate_rewrite(spark):
+    xml = '<a><docDate when="1971-03-04">1971-03-04</docDate></a>'
+    df = spark.createDataFrame([(xml, "1971-11-30 00:00:00")], "x string, d string")
+    got = df.select(TK.docdate_rewrite(F.col("x"), F.col("d")).alias("o")).first()["o"]
+    assert got == O.docdate_rewrite(xml, "1971-11-30 00:00:00")
+    assert 'when="1971-11-30">1971-11-30<' in got
+
+
+# --------------------------------------------------------- i-ort split
+IORT_CASES = [
+    "Andersson i Göteborg",
+    "Larsson i Lund, senare Malmö, Ystad o Trelleborg",
+    "Berg i Umeå senare åter Luleå och Boden",
+    "Ek I Uppsala",
+    "Nord i Piteå senareåter Boden",
+]
+
+
+@pytest.mark.parametrize("s", IORT_CASES)
+def test_iort_pairs_matches_oracle(spark, s):
+    df = spark.createDataFrame([(s,)], "s string")
+    got = [
+        (r["p"]["surname"], r["p"]["iort"])
+        for r in df.select(F.explode(TK.iort_pairs(F.col("s"))).alias("p")).collect()
+    ]
+    assert got == O.iort_pairs(s)
+
+
+# ------------------------------------------------------ role / gender
+def test_role_and_gender_kernels(spark):
+    roles = ["Sveriges statsminister", "riksdagsledamot", "Europaparlamentsledamot", "talman"]
+    assert _col1(spark, roles, TK.role_ledamot) == [O.role_ledamot(r) for r in roles]
+    assert _col1(spark, roles, TK.role_minister_clean) == [
+        O.role_minister_clean(r) for r in roles
+    ]
+    genders = ["kvinna", "man", "okänd", ""]
+    assert _col1(spark, genders, TK.gender_map) == [O.gender_map(g) for g in genders]
+
+
+def test_fold_names(spark):
+    names = ["Åke Öst-Lund", "Mélanie  d'Arc", "SJÖGREN, Per", "ren ascii"]
+    assert _col1(spark, names, TK.fold_names) == [O.fold_names(n) for n in names]
+    assert O.fold_names("Åke Öst-Lund") == "ake ost lund"
+
+
+# ------------------------------------------------------- W13 find_toc
+def test_find_toc_statuses_and_range(spark):
+    rows = [
+        ("ok", 0, "note", "x"),
+        ("ok", 1, "pb", None),
+        ("ok", 2, "seg", "mellanliggande"),
+        ("ok", 3, "pb", None),
+        ("ok", 4, "note", " Innehållsförteckning "),
+        ("ok", 5, "seg", "post 1"),
+        ("nopb", 0, "note", "INNEHÅLLSFÖRTECKNING"),
+        ("nopb", 1, "seg", "x"),
+        ("none", 0, "seg", "vanlig"),
+    ]
+    segs = spark.createDataFrame(rows, "url string, pos long, elem_type string, text string")
+    out = {(r["url"], r["pos"]): r for r in W.find_toc(segs).collect()}
+    # ToC starts at the LAST pb before the heading (pos 3), not pos 1
+    assert [out[("ok", p)]["in_toc"] for p in range(6)] == [False, False, False, True, True, True]
+    assert out[("ok", 0)]["status"] == "ok"
+    # heading matched case-insensitively; no preceding pb → FAIL branch
+    assert out[("nopb", 0)]["status"] == "missing_pb"
+    assert not out[("nopb", 1)]["in_toc"]
+    assert out[("none", 0)]["status"] == "no_toc"
+
+
+# ------------------------------------------------- M4 confusion matrix
+def test_confusion_matrix_and_metrics(spark):
+    rows = [("a", "a")] * 3 + [("a", "b")] * 1 + [("b", "b")] * 2 + [("b", "a")] * 2
+    scored = spark.createDataFrame(rows, "gold string, pred string")
+    cm = {(r["gold"], r["pred"]): r["n"] for r in ACC.confusion_matrix(scored).collect()}
+    assert cm == {("a", "a"): 3, ("a", "b"): 1, ("b", "b"): 2, ("b", "a"): 2}
+    m = {r["clazz"]: r for r in ACC.per_class_metrics(scored).collect()}
+    assert m["a"]["tp"] == 3 and m["a"]["n_gold"] == 4 and m["a"]["n_pred"] == 5
+    assert m["a"]["precision"] == pytest.approx(3 / 5)
+    assert m["a"]["recall"] == pytest.approx(3 / 4)
+    assert m["b"]["precision"] == pytest.approx(2 / 3)
+    assert m["b"]["recall"] == pytest.approx(2 / 4)
+
+
+# ------------------------------------------------------ O2 stable sort
+def test_git_stable_sort_orders_by_all_columns(spark):
+    df = spark.createDataFrame(
+        [(2, "b"), (1, "z"), (1, "a"), (2, "a")], "k long, v string"
+    )
+    got = [(r["k"], r["v"]) for r in git_stable_sort(df).collect()]
+    assert got == [(1, "a"), (1, "z"), (2, "a"), (2, "b")]
