@@ -130,8 +130,55 @@ def main() -> None:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / timings["curate"], 1),
         "cpus": CPUS,
+        "trials": n_trials,
     }
+    prev = _previous_round()
+    if prev is not None:
+        out["previous"] = prev
+        if prev.get("docs_per_sec"):
+            out["delta_docs_per_sec_pct"] = round(
+                100.0 * (out["docs_per_sec"] / prev["docs_per_sec"] - 1.0), 1
+            )
     print(json.dumps(out))
+
+
+def _previous_round() -> dict | None:
+    """Latest driver-recorded BENCH_r*.json, reduced to the comparable
+    fields — makes round-over-round regressions attributable in place.
+    (Host CPU steal swings single runs up to 6x; compare docs_per_sec
+    trends, not single deltas.)"""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except Exception:
+        return None
+    if "queries" not in d and isinstance(d.get("tail"), str):
+        # driver wrapper format: the bench JSON line is inside "tail"
+        for line in d["tail"].splitlines():
+            if line.startswith('{"metric"'):
+                try:
+                    d = json.loads(line)
+                    break
+                except Exception:
+                    pass
+    return {
+        "round": n,
+        "docs_per_sec": d.get("docs_per_sec"),
+        "total_sec": d.get("value"),
+        "queries": d.get("queries"),
+    }
 
 
 if __name__ == "__main__":

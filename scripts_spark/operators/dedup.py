@@ -39,9 +39,12 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
                        num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
     """MinHash signature per doc: num_hashes independent min-hashes of
     the shingle set, each via xxhash64(shingle, seed_i). One explode +
-    one partial-agg'd groupBy — cost O(total shingles)."""
+    one partial-agg'd groupBy — cost O(distinct shingles per doc):
+    MinHash is set-semantics, so the per-doc array_distinct changes
+    nothing in the result and sheds hash work on repetitive text."""
     sh = df.select(
-        F.col(key), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+        F.col(key),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("shingle"),
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")

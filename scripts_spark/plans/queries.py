@@ -225,19 +225,13 @@ _SHINGLE_SQL = """
     "minhash_lsh_pairs",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    vocab AS (SELECT DISTINCT shingle FROM sh),
-    hs AS (
-      SELECT shingle,
-             md5('0|' || shingle) AS h0, md5('1|' || shingle) AS h1,
-             md5('2|' || shingle) AS h2, md5('3|' || shingle) AS h3,
-             md5('4|' || shingle) AS h4, md5('5|' || shingle) AS h5,
-             md5('6|' || shingle) AS h6, md5('7|' || shingle) AS h7
-      FROM vocab),
     sig AS (
       SELECT doc_id,
-             MIN(h0) AS m0, MIN(h1) AS m1, MIN(h2) AS m2, MIN(h3) AS m3,
-             MIN(h4) AS m4, MIN(h5) AS m5, MIN(h6) AS m6, MIN(h7) AS m7
-      FROM sh JOIN hs USING (shingle) GROUP BY doc_id),
+             MIN(md5('0|' || shingle)) AS m0, MIN(md5('1|' || shingle)) AS m1,
+             MIN(md5('2|' || shingle)) AS m2, MIN(md5('3|' || shingle)) AS m3,
+             MIN(md5('4|' || shingle)) AS m4, MIN(md5('5|' || shingle)) AS m5,
+             MIN(md5('6|' || shingle)) AS m6, MIN(md5('7|' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, 0 AS band, md5(m0 || m1) AS key FROM sig UNION ALL
       SELECT doc_id, 1 AS band, md5(m2 || m3) AS key FROM sig UNION ALL
@@ -250,9 +244,17 @@ _SHINGLE_SQL = """
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle → 8 portable md5-string
     minhashes → 4 bands of 2 → band-bucket self-join (SURVEY extras).
-    The 8-hash family is computed once per DISTINCT shingle and joined
-    back (vocabulary dedup — 24x less hashing on repetitive corpora);
-    md5-as-string min keeps the hash family identical across engines."""
+    The hashes are computed INLINE per shingle occurrence and
+    partial-agg'd map-side, so the only shuffle carries 8 minhashes per
+    doc per input partition. (Round 1 built a distinct-shingle vocab
+    table and force-broadcast it back — at web scale a distinct-3-gram
+    table is tens of billions of rows, an OOM'd driver; hashing is
+    cheap, shuffling vocab is not.) md5-as-string min keeps the hash
+    family identical across engines; the fast production form is
+    operators/dedup.minhash_signatures (xxhash64, same shape).
+    Shingles are array_distinct'ed per doc before the explode: MinHash
+    is set-semantics, so min-over-set == min-over-multiset, and
+    repetitive documents shed most of their hash work."""
     d = T(spark, sf_dir, "documents")
     t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     sh = d.select(
@@ -260,21 +262,20 @@ def minhash_lsh_pairs(spark, sf_dir):
         F.explode(
             F.when(
                 F.size(t) >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(t) - 3),
-                    lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                    )
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     )
-    hs = sh.select("shingle").distinct().select(
-        "shingle",
-        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}") for i in range(8)],
-    )
-    sig = (
-        sh.join(F.broadcast(hs), "shingle")
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(8)])
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(8)
+        ]
     )
     bands = None
     for b in range(4):

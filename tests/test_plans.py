@@ -111,6 +111,24 @@ def test_curate_boiler_broadcast(spark):
     assert "BroadcastHashJoin" in _plan(dec)
 
 
+def test_minhash_no_vocab_broadcast(spark):
+    """Neither the registry minhash query nor the production dedup path
+    may broadcast a shingle-derived table: a distinct-shingle vocab is
+    unbounded at web scale. The signature agg must be a partial-agg'd
+    groupBy over inline hashes (no join before the signature)."""
+    plan = _plan(Q.REGISTRY["minhash_lsh_pairs"](spark, SF))
+    # exactly one join in the whole plan: the band-bucket self-join
+    n_joins = sum(plan.count(j) for j in ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"])
+    assert n_joins == 1, plan[:3000]
+
+    from scripts_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prod = _plan(D.minhash_signatures(docs, "doc_id"))
+    assert "Join" not in prod, prod[:2000]
+    assert "partial_min" in prod or "HashAggregate" in prod
+
+
 def test_interval_join_is_broadcast_nlj(spark):
     plan = _plan(Q.REGISTRY["interval_tier_join"](spark, SF))
     # non-equi join against broadcast dim → BroadcastNestedLoopJoin,
