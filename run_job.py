@@ -18,6 +18,9 @@ Subcommands:
                 missing from the manifest are recomputed/written)
     check       data-quality audit of a decisions output (A8 etc.)
     qc-sample   emit a stratified annotation sample
+    qc-score    score annotated gold labels back against the decisions
+                (F1 + per-stratum Beta CIs + confusion matrix) — the
+                reference's §3.3 annotate→estimate loop end-to-end
     metrics     print per-bucket metrics from a decisions output
 """
 
@@ -29,6 +32,7 @@ import sys
 
 from pyspark.sql import functions as F
 
+from scripts_spark.plans import accuracy
 from scripts_spark.plans.accuracy import emit_qc_sample
 from scripts_spark.plans.pipeline import CurateConfig, curate
 from scripts_spark.plans import quality_checks
@@ -69,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     sn = sub.add_parser("snapshots")
     sn.add_argument("--decisions", required=True)
 
+    s = sub.add_parser(
+        "qc-score",
+        help="close the QC loop: join annotated gold labels (parquet "
+        "with doc_id + gold_keep) back to the decisions and print "
+        "keep-F1, per-stratum accuracy with Beta CIs, and the "
+        "confusion matrix (SURVEY §3.3).",
+    )
+    s.add_argument("--decisions", required=True)
+    s.add_argument("--gold", required=True)
+    s.add_argument("--stratum", default="lang_pred")
+
     a = p.parse_args(argv)
     spark = get_spark(app_name=f"scripts-spark-{a.cmd}")
     spark.sparkContext.setLogLevel("WARN")
@@ -101,6 +116,25 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "snapshots":
         for r in catalog.snapshots(spark, a.decisions).collect():
             print(json.dumps(r.asDict()))
+    elif a.cmd == "qc-score":
+        dec = catalog.read_output(spark, a.decisions)
+        gold = spark.read.parquet(a.gold)
+        result = {
+            "f1": accuracy.keep_f1(dec, gold),
+            "strata": accuracy.score_against_gold(dec, gold, stratum_col=a.stratum),
+            "confusion": [
+                r.asDict()
+                for r in accuracy.confusion_matrix(
+                    dec.join(gold, "doc_id").select(
+                        F.col("gold_keep").cast("string").alias("gold"),
+                        F.col("keep").cast("string").alias("pred"),
+                    )
+                )
+                .orderBy("gold", "pred")
+                .collect()
+            ],
+        }
+        print(json.dumps(result))
     return 0
 
 

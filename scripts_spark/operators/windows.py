@@ -113,6 +113,17 @@ def pair_with_next(segs: DataFrame) -> DataFrame:
     ).filter(F.col("xml_id2").isNotNull())
 
 
+def tag_after_intro(segs: DataFrame, is_intro: Column) -> DataFrame:
+    """W7: mark the element immediately following a speaker intro —
+    the reference's one-step 'speaker' latch
+    (/root/reference/src/classify_join_intros.py:44-52 sets a flag on
+    the intro row and consumes it on the very next note/seg)."""
+    return segs.withColumn(
+        "after_intro",
+        F.coalesce(F.lag(is_intro.cast("boolean")).over(_doc_w()), F.lit(False)),
+    )
+
+
 def running_attribution(segs: DataFrame, is_intro: Column) -> DataFrame:
     """W8: each element carries the text of the nearest preceding
     intro (sample_intros.py:14-34)."""

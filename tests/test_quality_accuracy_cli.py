@@ -122,6 +122,36 @@ def test_cli_end_to_end():
             "duplicate_ids": 0, "unknown_reasons": 0, "keep_consistency": 0
         }
         run("qc-sample", "--decisions", f"{work}/dec", "--output", f"{work}/qc")
+
+        # --- the §3.3 loop closed: "annotate" the sample (agree with
+        # the engine except on 2 rows), then score the gold back
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id,
+                     CASE WHEN row_number() OVER (ORDER BY doc_id) <= 2
+                          THEN NOT keep ELSE keep END AS gold_keep
+              FROM read_parquet('{work}/qc/*.parquet')
+            ) TO '{work}/gold.parquet' (FORMAT PARQUET)
+            """
+        )
+        n_sample = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{work}/qc/*.parquet')"
+        ).fetchone()[0]
+        con.close()
+        out = run("qc-score", "--decisions", f"{work}/dec", "--gold", f"{work}/gold.parquet")
+        scored = json.loads(out)
+        assert set(scored) == {"f1", "strata", "confusion"}
+        n_scored = sum(s["n_total"] for s in scored["strata"])
+        n_correct = sum(s["n_correct"] for s in scored["strata"])
+        assert n_scored == n_sample and n_correct == n_sample - 2
+        assert 0 < scored["f1"]["f1"] <= 1.0
+        assert sum(c["n"] for c in scored["confusion"]) == n_sample
+        for s in scored["strata"]:
+            assert s["ci_low"] <= s["accuracy"] <= s["ci_high"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

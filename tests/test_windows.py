@@ -139,6 +139,19 @@ def test_running_attribution(spark, segs, seg_rows):
                 cur = r["text"]
 
 
+def test_tag_after_intro(spark, segs, seg_rows):
+    is_intro = (F.col("elem_type") == "note") & (F.col("type_attr") == "speaker")
+    got = {
+        (r["url"], r["pos"]): r["after_intro"]
+        for r in W.tag_after_intro(segs, is_intro).collect()
+    }
+    for url, rows in _by_doc(seg_rows).items():
+        prev_was_intro = False
+        for r in rows:
+            assert got[(url, r["pos"])] == prev_was_intro
+            prev_was_intro = r["elem_type"] == "note" and r["type_attr"] == "speaker"
+
+
 def test_pair_with_next(spark, segs, seg_rows):
     got = sorted(
         (r["url"], r["xml_id1"], r["xml_id2"]) for r in W.pair_with_next(segs).collect()
