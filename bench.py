@@ -27,7 +27,9 @@ from scripts_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))
+# 40x ≈ 200k docs at sf0.1: large enough that curate throughput
+# measures the pipeline, not JVM/stage fixed costs (BENCH.md noise notes)
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))
 BUCKETS = int(os.environ.get("BENCH_BUCKETS", "256"))
 
 

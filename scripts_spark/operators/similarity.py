@@ -112,3 +112,66 @@ def pairwise_topk(emb: DataFrame, k: int = 5, key: str = "vec_id",
     )
     w_k = Window.partitionBy("key_a").orderBy(F.desc("cosine"), "key_b")
     return pairs.withColumn("rn", F.row_number().over(w_k)).filter(F.col("rn") <= k).drop("rn")
+
+
+# ----------------------------------------------------------- IVF ANN
+def ivf_centroids(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF 'training': the n_lists vectors with the
+    smallest xxhash64(key) act as centroids (seeded-sample k-means-0 —
+    no iterative training, no RNG state, reruns identical). Returns
+    (centroid_id, centroid_vec); n_lists rows — always broadcastable."""
+    w = Window.orderBy(F.xxhash64(F.col(key).cast("string")), key)
+    return (
+        emb.select(F.col(key), _as_double(F.col(vec_col)).alias("centroid_vec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_lists)
+        .select((F.col("_rn") - 1).alias("centroid_id"), "centroid_vec")
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, key: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine: broadcast
+    the (tiny) centroid table, cross join, keep the argmax — one pass
+    over the data, no shuffle of the embedding column beyond the final
+    per-key argmax window."""
+    e = emb.select(F.col(key), _as_double(F.col(vec_col)).alias("_v"))
+    x = e.crossJoin(F.broadcast(centroids))
+    dot, nv, nc = cosine_cols(F.col("_v"), F.col("centroid_vec"))
+    sim = F.when((nv > 0) & (nc > 0), dot / (nv * nc)).otherwise(F.lit(0.0))
+    w = Window.partitionBy(key).orderBy(F.desc("sim"), "centroid_id")
+    return (
+        x.select(F.col(key), F.col("centroid_id"), sim.alias("sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, "centroid_id")
+    )
+
+
+def ann_topk_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_lists: int = 16, n_probe: int = 4,
+                 key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the n_probe centroid lists nearest
+    the query and run exact cosine only inside them. At scale the
+    assignment is computed once (a stored index column / partition
+    key), so a query touches n_probe/n_lists of the data — the
+    clustered-pruning alternative to the hyperplane-LSH path."""
+    import math
+
+    spark = emb.sparkSession
+    cents = ivf_centroids(emb, n_lists, key, vec_col)
+    assign = ivf_assign(emb, cents, key, vec_col)
+    # rank centroids vs the query on the driver: n_lists rows, trivial
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    scored = []
+    for r in cents.collect():
+        cv = r["centroid_vec"]
+        cn = math.sqrt(sum(x * x for x in cv)) or 1.0
+        dot = sum(a * b for a, b in zip(query_vec, cv))
+        scored.append((dot / (qn * cn), r["centroid_id"]))
+    probe = [cid for _, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    cand = emb.join(
+        assign.filter(F.col("centroid_id").isin(probe)).select(key), key, "left_semi"
+    )
+    return brute_force_topk(cand, query_vec, k, key, vec_col)

@@ -1587,3 +1587,75 @@ def stable_sort_head(spark, sf_dir):
     from scripts_spark.sources.catalog import git_stable_sort
 
     return git_stable_sort(d).select("doc_id", "source", "lang").limit(25)
+
+
+_BPE_PAT = "[A-Za-zÀ-ÿ]+|[0-9]|[^A-Za-zÀ-ÿ0-9 \\t\\n]+"
+_BPE_PAT_SQL = "[A-Za-zÀ-ÿ]+|[0-9]|[^A-Za-zÀ-ÿ0-9 \t\n]+"
+
+
+@q(
+    "bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_distinct,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-zÀ-ÿ]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS BIGINT) AS n_digit
+    FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT_SQL}') AS toks
+          FROM documents)
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counting (task brief 'whitespace + a BPE-ish
+    regex'): the GPT-2-style split shape — letter runs | single digits
+    | punctuation runs — as one regexp_extract_all, with per-class
+    counts. Pure Column math; whitespace token counts are `token_stats`."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    d = d.select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_bpe"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_bpe_distinct"),
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[A-Za-zÀ-ÿ]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[0-9]")))
+        .cast("long")
+        .alias("n_digit"),
+    )
+
+
+@q(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint via a polynomial ROLLING
+    hash over the token stream (task brief 'document fingerprinting
+    (rolling hash)'): h = (h*31 + md5_32(token)) mod 1e9+7, folded with
+    F.aggregate — order-sensitive where `doc_fingerprint`'s whole-text
+    md5 is content-only. Integer-exact and engine-portable (32-bit md5
+    prefixes; every intermediate < 2^36 fits BIGINT in both engines)."""
+    d = T(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    val = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + val(t)) % F.lit(1000000007).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

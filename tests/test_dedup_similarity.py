@@ -105,6 +105,26 @@ def test_ann_lsh_recall(spark, emb):
     assert len(exact & approx) >= 5, (exact, approx)
 
 
+def test_ann_ivf_recall_and_partition(spark, emb):
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf(emb, qv, k=10, n_lists=8, n_probe=4).collect()
+    }
+    # probing half the lists must find the query itself + decent recall
+    assert 0 in approx
+    assert len(exact & approx) >= 5, (exact, approx)
+    # the assignment is a total partition of the data
+    cents = similarity.ivf_centroids(emb, 8)
+    assign = similarity.ivf_assign(emb, cents)
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()
+    # determinism: same centroids on rerun
+    again = {r["centroid_id"] for r in similarity.ivf_centroids(emb, 8).collect()}
+    assert again == {r["centroid_id"] for r in cents.collect()}
+
+
 def test_interval_join(spark):
     facts = spark.createDataFrame([(1, 1995), (2, 2001), (3, 2010)], "id long, year long")
     dim = spark.createDataFrame(
