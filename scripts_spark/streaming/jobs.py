@@ -34,11 +34,24 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   checkpoint_dir: str, cfg: CurateConfig | None = None,
                   available_now: bool = True,
-                  max_files_per_trigger: int | None = None):
+                  max_files_per_trigger: int | None = None,
+                  dedup_urls_across_batches: bool = False,
+                  dedup_watermark: str = "30 days"):
     """File-source stream → batch curate per micro-batch → manifest
-    commit. Returns the started StreamingQuery."""
+    commit. Returns the started StreamingQuery.
+
+    ``dedup_urls_across_batches`` upgrades the documented per-batch
+    url-dedup approximation to exact cross-batch semantics: a
+    watermarked dropDuplicatesWithinWatermark("url") keeps one row per
+    url across micro-batches (state bounded by the warc_ts watermark —
+    a recrawl of the same url more than ``dedup_watermark`` later is
+    treated as a new document, which is the right call for a rolling
+    crawl). State survives restarts via the checkpoint."""
     cfg = cfg or CurateConfig()
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    if dedup_urls_across_batches:
+        stream = stream.withWatermark("warc_ts", dedup_watermark)
+        stream = stream.dropDuplicatesWithinWatermark(["url"])
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

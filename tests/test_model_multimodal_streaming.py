@@ -120,6 +120,32 @@ def test_stream_curate_two_drops_no_data_loss(spark, tmpdirs):
     assert out.count() == len(want)  # no duplicates either
 
 
+def test_stream_curate_cross_batch_url_dedup(spark, tmpdirs):
+    """With dedup_urls_across_batches: a url recrawled in a LATER
+    micro-batch is dropped by the watermarked state, so the committed
+    output has exactly one row per url."""
+    in_dir, out_dir, ckpt, _ = tmpdirs
+    cfg = CurateConfig(num_buckets=8)
+    d1 = pages_df(spark, 80, partitions=1, start=0)
+    d1.write.mode("append").parquet(in_dir)
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                         dedup_urls_across_batches=True)
+    q.awaitTermination(120)
+    n1 = catalog.read_output(spark, out_dir).count()
+    # drop 2: 40 new urls + 30 recrawls of drop-1 urls
+    new = pages_df(spark, 40, partitions=1, start=80)
+    recrawl = pages_df(spark, 30, partitions=1, start=0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    new.unionByName(recrawl).write.mode("append").parquet(in_dir)
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                         dedup_urls_across_batches=True)
+    q.awaitTermination(120)
+    out = catalog.read_output(spark, out_dir)
+    assert out.count() == n1 + curate(new, cfg).count()
+    assert out.select("url").distinct().count() == out.count()
+
+
 def test_windowed_event_counts_stream(spark, tmpdirs):
     in_dir, _, ckpt, _ = tmpdirs
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
