@@ -1659,3 +1659,70 @@ def rolling_fingerprint(spark, sf_dir):
         fp.alias("fingerprint"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+@q(
+    "merge_runs",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM g)
+    SELECT user_id, run_id, event_type, COUNT(*) AS n,
+           MIN(event_id) AS min_event, MAX(event_id) AS max_event
+    FROM r GROUP BY user_id, run_id, event_type
+    """,
+)
+def merge_runs(spark, sf_dir):
+    """W5 gaps-and-islands merge of consecutive same-type rows
+    (merge_utterances.py:10-24 semantics) over the events stream:
+    change-flag running sum → per-run rollup."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    run = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    return (
+        ev.withColumn("run_id", run)
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+@q(
+    "running_attribution",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_event
+    FROM events
+    """,
+)
+def running_attribution_q(spark, sf_dir):
+    """W8 running attribution (sample_intros.py:14-34): each event
+    carries the id of the nearest PRECEDING signup (strictly before the
+    current row — the intro itself is not its own attribution)."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+        ).over(w).alias("prev_signup_event"),
+    )
