@@ -118,10 +118,12 @@ def pairwise_topk(emb: DataFrame, k: int = 5, key: str = "vec_id",
 def ivf_centroids(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Deterministic IVF 'training': the n_lists vectors with the
-    smallest xxhash64(key) act as centroids (seeded-sample k-means-0 —
-    no iterative training, no RNG state, reruns identical). Returns
-    (centroid_id, centroid_vec); n_lists rows — always broadcastable."""
-    w = Window.orderBy(F.xxhash64(F.col(key).cast("string")), key)
+    smallest md5(key) act as centroids (seeded-sample k-means-0 —
+    no iterative training, no RNG state, reruns identical; md5 rather
+    than xxhash64 so the DuckDB oracle can reproduce the selection).
+    Returns (centroid_id, centroid_vec); n_lists rows — always
+    broadcastable."""
+    w = Window.orderBy(F.md5(F.col(key).cast("string")), key)
     return (
         emb.select(F.col(key), _as_double(F.col(vec_col)).alias("centroid_vec"))
         .withColumn("_rn", F.row_number().over(w))
@@ -130,16 +132,31 @@ def ivf_centroids(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
     )
 
 
+def _quantized(arr):
+    """array<long> milli-quantization — exact integer dot products, so
+    the only floats are divisions of exact ints (engine-portable)."""
+    return F.transform(arr, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame, key: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid by cosine: broadcast
     the (tiny) centroid table, cross join, keep the argmax — one pass
     over the data, no shuffle of the embedding column beyond the final
-    per-key argmax window."""
-    e = emb.select(F.col(key), _as_double(F.col(vec_col)).alias("_v"))
-    x = e.crossJoin(F.broadcast(centroids))
-    dot, nv, nc = cosine_cols(F.col("_v"), F.col("centroid_vec"))
-    sim = F.when((nv > 0) & (nc > 0), dot / (nv * nc)).otherwise(F.lit(0.0))
+    per-key argmax window. The ranking score is dot/sqrt(|c|²) over
+    milli-quantized INTEGER sums (|v| is constant per vector, so it
+    drops out of the argmax) — bit-identical across engines."""
+    e = emb.select(F.col(key), _quantized(F.col(vec_col)).alias("_q"))
+    cents = centroids.select("centroid_id", _quantized(F.col("centroid_vec")).alias("_cq"))
+    x = e.crossJoin(F.broadcast(cents))
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("_cq"), lambda a, b: a * b), zero, lambda acc, v: acc + v
+    )
+    n2c = F.aggregate(F.col("_cq"), zero, lambda acc, v: acc + v * v)
+    sim = F.when(n2c > 0, dot.cast("double") / F.sqrt(n2c.cast("double"))).otherwise(
+        F.lit(0.0)
+    )
     w = Window.partitionBy(key).orderBy(F.desc("sim"), "centroid_id")
     return (
         x.select(F.col(key), F.col("centroid_id"), sim.alias("sim"))

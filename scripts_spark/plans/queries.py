@@ -1726,3 +1726,53 @@ def running_attribution_q(spark, sf_dir):
             F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
         ).over(w).alias("prev_signup_event"),
     )
+
+
+@q(
+    "ivf_assign",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS q
+      FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS centroid_id, q AS cq
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+    ev AS (
+      SELECT vec_id, i, q[i] AS eq
+      FROM e CROSS JOIN UNNEST(generate_series(1, len(q))) s(i)),
+    cv AS (
+      SELECT centroid_id, i, cq[i] AS cc
+      FROM c CROSS JOIN UNNEST(generate_series(1, len(cq))) s(i)),
+    dots AS (
+      SELECT ev.vec_id, cv.centroid_id,
+             CAST(SUM(eq * cc) AS BIGINT) AS dot,
+             CAST(SUM(cc * cc) AS BIGINT) AS n2c
+      FROM ev JOIN cv USING (i)
+      GROUP BY ev.vec_id, cv.centroid_id)
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+    FROM (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY (CASE WHEN n2c > 0
+                              THEN CAST(dot AS DOUBLE) / sqrt(CAST(n2c AS DOUBLE))
+                              ELSE 0.0 END) DESC, centroid_id) AS rn
+      FROM dots)
+    WHERE rn = 1
+    """,
+)
+def ivf_assign_q(spark, sf_dir):
+    """IVF list assignment as a driver-checked query: 8 md5-selected
+    centroids, every vector assigned to its nearest by quantized-exact
+    cosine argmax (similarity.ivf_centroids/ivf_assign). The only
+    floats are divisions of exact integers, so both engines pick the
+    same centroid everywhere, ties broken by centroid_id."""
+    from scripts_spark.operators import similarity as SIM
+
+    e = T(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(e, 8)
+    return SIM.ivf_assign(e, cents).select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
