@@ -154,8 +154,10 @@ def tokens(col: Column) -> Column:
 # --- split-intro join kernels ----------------------------------------
 # Parity: /root/reference/src/classify_join_intros.py:27 (the ALLCAPS
 # run class incl. Å/Ä/Ö, space and dash) and :147-164 (the three-branch
-# join of a split intro pair).
-ALLCAPS_PATTERN = "\\b[A-ZÀ-Þ -]{3,}\\b"
+# join of a split intro pair). (?U) makes Java's \b Unicode-aware like
+# Python's re — without it a surname STARTING with Å/Ä/Ö would anchor
+# differently than the reference.
+ALLCAPS_PATTERN = "(?U)\\b[A-ZÀ-Þ -]{3,}\\b"
 
 
 def allcaps_surname(col: Column) -> Column:
@@ -207,7 +209,10 @@ def protocol_id_pad(col: Column) -> Column:
     pid = F.replace(col, F.lit("_"), F.lit("-"))
     num = F.regexp_extract(pid, "([0-9]+)$", 1)
     head = F.substr(pid, F.lit(1), F.length(pid) - F.length(num))
-    return F.concat(head, F.lpad(num, 3, "0"))
+    # zfill semantics: pad short numbers, NEVER truncate long ones
+    # (F.lpad alone would cut '2306' to '230')
+    padded = F.when(F.length(num) >= 3, num).otherwise(F.lpad(num, 3, "0"))
+    return F.concat(head, padded)
 
 
 # --- docDate rewrite --------------------------------------------------

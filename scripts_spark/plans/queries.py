@@ -1415,6 +1415,8 @@ _PROT_ROWS = [
     ("1971/72", 12, '<p><docDate when="1971-03-04">1971-03-04</docDate></p>', "1971-11-30 00:00:00"),
     ("201718", 101, '<docDate when="2017-01-01">2017-01-01</docDate>', "2018-03-14"),
     ("1999/2000", 7, "<p>no date here</p>", "2000-05-02 12:00:00"),
+    # 4-digit protocol number: zero-pad must NOT truncate (zfill parity)
+    ("2014", 2306, '<docDate when="2014-09-01">2014-09-01</docDate>', "2014-09-30"),
 ]
 _PROT_SQL_ROWS = ", ".join(
     "('%s', %d, '%s', '%s')" % r for r in _PROT_ROWS
@@ -1435,7 +1437,9 @@ _PROT_SQL_ROWS = ", ".join(
     n AS (
       SELECT *, regexp_extract(pid2, '([0-9]+)$', 1) AS num FROM p)
     SELECT year, CAST(id AS BIGINT) AS id, protocol_id,
-           substr(pid2, 1, length(pid2) - length(num)) || lpad(num, 3, '0') AS padded_id,
+           substr(pid2, 1, length(pid2) - length(num))
+             || (CASE WHEN length(num) >= 3 THEN num
+                      ELSE lpad(num, 3, '0') END) AS padded_id,
            regexp_replace(xml,
              '<docDate when="[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}">[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}</docDate>',
              '<docDate when="' || string_split(scraped, ' ')[1] || '">'
