@@ -122,12 +122,24 @@ def ivf_centroids(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
     no iterative training, no RNG state, reruns identical; md5 rather
     than xxhash64 so the DuckDB oracle can reproduce the selection).
     Returns (centroid_id, centroid_vec); n_lists rows — always
-    broadcastable."""
-    w = Window.orderBy(F.md5(F.col(key).cast("string")), key)
+    broadcastable.
+
+    Selection is orderBy().limit() — Spark compiles that to
+    TakeOrderedAndProject (per-partition top-K + driver merge), NOT the
+    single-task total sort a global row_number window would cost at
+    10^12 rows; the ordinal window then runs over ≤ n_lists rows."""
+    sel = (
+        emb.select(
+            F.col(key),
+            _as_double(F.col(vec_col)).alias("centroid_vec"),
+            F.md5(F.col(key).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", key)
+        .limit(n_lists)
+    )
+    w = Window.orderBy("_h", key)
     return (
-        emb.select(F.col(key), _as_double(F.col(vec_col)).alias("centroid_vec"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_lists)
+        sel.withColumn("_rn", F.row_number().over(w))
         .select((F.col("_rn") - 1).alias("centroid_id"), "centroid_vec")
     )
 

@@ -129,6 +129,16 @@ def test_minhash_no_vocab_broadcast(spark):
     assert "partial_min" in prod or "HashAggregate" in prod
 
 
+def test_ivf_centroid_selection_is_top_k(spark):
+    """Centroid selection must compile to TakeOrderedAndProject
+    (per-partition top-K), not a single-task global-window sort."""
+    from scripts_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(S.ivf_centroids(emb, 8))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
 def test_interval_join_is_broadcast_nlj(spark):
     plan = _plan(Q.REGISTRY["interval_tier_join"](spark, SF))
     # non-equi join against broadcast dim → BroadcastNestedLoopJoin,
