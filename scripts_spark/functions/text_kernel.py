@@ -32,6 +32,7 @@ KERNEL_VERSIONS = {
     "join_soft_hyphens": "1.0",
     "fix_capitalized_dashes": "1.0",
     "scrub_pii": "1.0",
+    "scrub_toxicity": "1.0",
     "token_normalize": "1.0",
     "join_intro_texts": "1.0",
     "protocol_id": "1.0",
@@ -119,15 +120,35 @@ def scrub_pii(col: Column) -> Column:
     return out
 
 
+# Toxicity lexicon (north rule: "regex-based PII/toxicity scrubbing").
+# A small in-repo stand-in of mild public Swedish profanity — in
+# production this is a broadcast-compiled alternation from the real
+# lexicon table; the mechanism (single whole-word case-insensitive
+# regexp_replace, (?iU) = Unicode case + Unicode \b to match the
+# Python oracle) is what's contractual, not the word list.
+TOXIC_LEXICON = ["jävla", "jävlar", "helvete", "fan", "skit", "förbannade"]
+TOX_PATTERN = "(?iU)\\b(?:" + "|".join(TOXIC_LEXICON) + ")\\b"
+
+
+def scrub_toxicity(col: Column) -> Column:
+    return F.regexp_replace(col, TOX_PATTERN, "[TOX]")
+
+
+def scrub_all(col: Column) -> Column:
+    """PII then toxicity — the pipeline's full redaction pass; the
+    order is part of the rule version."""
+    return scrub_toxicity(scrub_pii(col))
+
+
 def repair_and_scrub(raw: Column) -> Column:
     """The full per-paragraph text chain, in pipeline order:
 
     dollar_signs -> join_soft_hyphens -> fix_capitalized_dashes ->
-    scrub_pii, mirroring the reference post-pipeline stage order
-    (/root/reference/src/cur-prot/post-pipeline.py:135-146 runs
-    dollar_sign_replace then fix_capitalized_dashes).
+    scrub_pii -> scrub_toxicity, mirroring the reference post-pipeline
+    stage order (/root/reference/src/cur-prot/post-pipeline.py:135-146
+    runs dollar_sign_replace then fix_capitalized_dashes).
     """
-    return scrub_pii(fix_capitalized_dashes(join_soft_hyphens(dollar_signs(raw))))
+    return scrub_all(fix_capitalized_dashes(join_soft_hyphens(dollar_signs(raw))))
 
 
 # --- word-frequency token normalization -----------------------------

@@ -92,7 +92,7 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
         dom = domain_of(url)
         plist = paras[url]
         kept = [p for p in plist if (dom, p) not in boiler]
-        scrubbed = textoracle.scrub_pii("\n".join(kept))
+        scrubbed = textoracle.scrub_all("\n".join(kept))
 
         toks = textoracle.tokens(scrubbed)
         counts = Counter(toks)

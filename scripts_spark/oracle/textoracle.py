@@ -61,8 +61,20 @@ def scrub_pii(t: str) -> str:
     return t
 
 
+TOXIC_LEXICON = ["jävla", "jävlar", "helvete", "fan", "skit", "förbannade"]
+_TOX = re.compile(r"\b(?:" + "|".join(TOXIC_LEXICON) + r")\b", re.IGNORECASE)
+
+
+def scrub_toxicity(t: str) -> str:
+    return _TOX.sub("[TOX]", t)
+
+
+def scrub_all(t: str) -> str:
+    return scrub_toxicity(scrub_pii(t))
+
+
 def repair_and_scrub(raw: str) -> str:
-    return scrub_pii(fix_capitalized_dashes(join_soft_hyphens(dollar_signs(raw))))
+    return scrub_all(fix_capitalized_dashes(join_soft_hyphens(dollar_signs(raw))))
 
 
 def token_normalize(word: str) -> str:

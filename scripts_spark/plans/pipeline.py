@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from scripts_spark.functions import ids, langid, langmodel, perplexity, scoring_join, scoring_udf, text_kernel
 from scripts_spark.sources.pages import domain_of
 
-PIPELINE_VERSION = "1.1"
+PIPELINE_VERSION = "1.2"  # 1.2: toxicity lexicon scrub after PII
 
 
 @dataclass(frozen=True)
@@ -238,7 +238,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
         .withColumn("kept_paras", kept)
         .withColumn("paras_boiler", F.col("paras_total") - F.size("kept_paras"))
         .withColumn(
-            "scrubbed_text", text_kernel.scrub_pii(F.array_join("kept_paras", "\n"))
+            "scrubbed_text", text_kernel.scrub_all(F.array_join("kept_paras", "\n"))
         )
         .drop("boiler_set", "paras", "kept_paras")
     )

@@ -169,6 +169,15 @@ def _plant_split_name(rnd: random.Random, para: str) -> str:
     return f"{name[:cut]}- {name[cut:]} anförde följande. " + para
 
 
+TOXIC_PLANTS = ["jävla", "JÄVLAR", "helvete", "Fan", "skit", "förbannade", "skiten"]
+
+
+def _plant_toxicity(rnd: random.Random, para: str) -> str:
+    # mix of cased forms; 'skiten' must NOT be scrubbed (whole-word \b)
+    w = rnd.choice(TOXIC_PLANTS)
+    return para + f" Det var ett {w} oväsen i kammaren."
+
+
 def gen_row(i: int, seed: int = 42) -> dict:
     """Deterministic page for global row index ``i``. Pure function."""
     rnd = random.Random((i * 2654435761 + seed * 97) & 0xFFFFFFFF)
@@ -196,6 +205,8 @@ def gen_row(i: int, seed: int = 42) -> dict:
                     p = _plant_pii(rnd, p)
                 elif r < 0.55:
                     p = _plant_split_name(rnd, p)
+                elif r < 0.63:
+                    p = _plant_toxicity(rnd, p)
                 paras.append(p)
         elif cat < 0.75:  # non-Swedish
             lex, tag = rnd.choice(

@@ -100,3 +100,31 @@ def test_chain_on_generated_paragraphs(spark):
     got = _spark_one(spark, tk.repair_and_scrub, paras)
     exp = [ora.repair_and_scrub(p) for p in paras]
     assert got == exp
+
+
+TOX_GOLDEN = [
+    "Det var ett jävla oväsen",         # scrubbed
+    "JÄVLAR i kammaren",                # case-insensitive incl Ä
+    "Helvete, sade talmannen",          # capitalized
+    "skiten ska inte maskas",           # whole-word only: 'skiten' kept
+    "fantastiskt arbete",               # 'fan' inside a word kept
+    "ett helvete och en skit och fan",  # multiple hits
+    "",
+]
+
+
+def test_scrub_toxicity(spark):
+    got = _spark_one(spark, tk.scrub_toxicity, TOX_GOLDEN)
+    assert got == [ora.scrub_toxicity(v) for v in TOX_GOLDEN]
+    assert got[0] == "Det var ett [TOX] oväsen"
+    assert got[3] == "skiten ska inte maskas"
+    assert got[4] == "fantastiskt arbete"
+    assert got[5] == "ett [TOX] och en [TOX] och [TOX]"
+
+
+def test_scrub_all_order(spark):
+    # PII first, then toxicity — combined line exercises both
+    s = "Herr ANDERSSON på Storgatan 3 skrek helvete, pnr 850709-1234"
+    got = _spark_one(spark, tk.scrub_all, [s])[0]
+    assert got == ora.scrub_all(s)
+    assert "[NAME]" in got and "[ADDR]" in got and "[TOX]" in got and "[PNR]" in got
