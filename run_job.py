@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--decisions", required=True)
     m.add_argument("--as-of", type=int, default=None,
                    help="read the snapshot as of this commit_seq")
+    m.add_argument("--from-log", action="store_true",
+                   help="read the per-partition _metrics table written "
+                        "at commit time instead of recomputing")
 
     sn = sub.add_parser("snapshots")
     sn.add_argument("--decisions", required=True)
@@ -110,8 +113,16 @@ def main(argv: list[str] | None = None) -> int:
         emit_qc_sample(dec, a.per_stratum).write.mode("overwrite").parquet(a.output)
         print(json.dumps({"path": a.output}))
     elif a.cmd == "metrics":
-        dec = catalog.read_output(spark, a.decisions, as_of=a.as_of)
-        for r in catalog.partition_metrics(dec).orderBy("bucket").collect():
+        if a.from_log:
+            rows = (
+                catalog.metrics_log(spark, a.decisions, as_of=a.as_of)
+                .orderBy("job_id", "bucket")
+                .collect()
+            )
+        else:
+            dec = catalog.read_output(spark, a.decisions, as_of=a.as_of)
+            rows = catalog.partition_metrics(dec).orderBy("bucket").collect()
+        for r in rows:
             print(json.dumps(r.asDict()))
     elif a.cmd == "snapshots":
         for r in catalog.snapshots(spark, a.decisions).collect():

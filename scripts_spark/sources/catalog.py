@@ -86,6 +86,19 @@ def commit_buckets(decisions: DataFrame, base: str, job_id: int = 0) -> dict[str
             .partitionBy("job_id", "bucket")
             .parquet(os.path.join(base, "data"))
         )
+        # persist the per-partition metrics table alongside the data
+        # (north rule: per-partition metrics written with the commit);
+        # same dynamic-overwrite unit, so a crash-retry replaces rather
+        # than duplicates, and the manifest semi-join in metrics_log
+        # hides orphans exactly as read_output does for data
+        (
+            partition_metrics(todo)
+            .withColumn("job_id", F.lit(job_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("job_id", "bucket")
+            .parquet(os.path.join(base, "_metrics"))
+        )
         metrics = todo.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -130,6 +143,18 @@ def snapshots(spark: SparkSession, base: str) -> DataFrame:
         )
         .orderBy("commit_seq")
     )
+
+
+def metrics_log(spark: SparkSession, base: str, as_of: int | None = None) -> DataFrame:
+    """The committed per-partition metrics table: one row per
+    (job_id, bucket) with row/keep counts and per-filter-reason counts,
+    written at commit time. Same visibility rule as read_output —
+    only manifest-committed units appear."""
+    m = spark.read.parquet(os.path.join(base, "_metrics"))
+    man = read_manifest(spark, base)
+    if as_of is not None:
+        man = man.filter(F.col("commit_seq") <= as_of)
+    return m.join(F.broadcast(man.select("job_id", "bucket")), ["job_id", "bucket"], "left_semi")
 
 
 def git_stable_sort(df: DataFrame) -> DataFrame:

@@ -96,6 +96,23 @@ def test_partition_metrics(spark):
     assert sum(r["n_lang"] for r in m) > 0  # reason metrics populated
 
 
+def test_metrics_written_at_commit(spark, outdir):
+    dec = _decisions(spark)
+    catalog.commit_buckets(dec.filter(F.col("bucket") < 4), outdir)
+    catalog.commit_buckets(_decisions(spark), outdir)
+    # recommit is a no-op and must not duplicate metrics rows
+    catalog.commit_buckets(_decisions(spark), outdir)
+    m = catalog.metrics_log(spark, outdir)
+    rows = m.collect()
+    assert len(rows) == 8  # one row per committed (job_id=0, bucket)
+    assert sum(r["n_rows"] for r in rows) == dec.count()
+    assert sum(r["n_kept"] for r in rows) == dec.filter("keep").count()
+    # reason-level columns present and populated
+    assert sum(r["n_lang"] for r in rows) > 0
+    # time travel applies to metrics too
+    assert catalog.metrics_log(spark, outdir, as_of=0).count() == 4
+
+
 def test_snapshot_time_travel(spark, outdir):
     dec = _decisions(spark)
     catalog.commit_buckets(dec.filter(F.col("bucket") < 4), outdir)
