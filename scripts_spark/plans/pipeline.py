@@ -159,14 +159,42 @@ def deduped_docs(pages: DataFrame, cfg: CurateConfig) -> DataFrame:
 
 def boilerplate_sets(docs: DataFrame, cfg: CurateConfig) -> DataFrame:
     """(domain, boiler_set) pairs: lines that appear in >
-    boiler_min_docs docs AND in > frac of the domain's docs. One
-    partial-agg'd shuffle on (domain, line); result is tiny (repeated
-    nav/footer lines only) and broadcast back to the doc stream."""
+    boiler_min_docs docs AND in > frac of the domain's docs.
+
+    Two-pass hash-then-confirm, so the BIG shuffle carries 8-byte
+    hashes instead of paragraph strings (~25x fewer bytes at corpus
+    scale):
+
+    1. count (domain, xxhash64(para)) — partial-agg'd long-only
+       shuffle — and keep hashes passing the thresholds as CANDIDATES
+       (a hash collision can only ADD a candidate, never drop one);
+    2. recount exactly, strings included, for the candidate rows only
+       (a near-empty broadcast semi-join of the line stream), and apply
+       the thresholds again on the exact counts.
+
+    The output is therefore byte-identical to a single exact pass; the
+    candidate set is tiny (repeated nav/footer lines only) and the
+    result broadcasts back to the doc stream."""
     lines = docs.select(
         "domain", F.explode(F.array_distinct("paras")).alias("para")
     )
-    line_docs = lines.groupBy("domain", "para").agg(F.count(F.lit(1)).alias("line_docs"))
     dom_docs = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("domain_docs"))
+
+    hl = F.xxhash64("domain", "para").alias("hl")
+    hash_counts = lines.select(hl).groupBy("hl").agg(F.count(F.lit(1)).alias("hn"))
+    # the per-domain fraction threshold can't be applied hash-side
+    # without the domain; the absolute > boiler_min_docs bound alone
+    # already prunes every unique/rare line, which is the bulk
+    cand = hash_counts.filter(F.col("hn") > cfg.boiler_min_docs).select("hl")
+
+    cand_lines = (
+        lines.withColumn("hl", F.xxhash64("domain", "para"))
+        .join(F.broadcast(cand), "hl", "left_semi")
+        .drop("hl")
+    )
+    line_docs = cand_lines.groupBy("domain", "para").agg(
+        F.count(F.lit(1)).alias("line_docs")
+    )
     boiler = (
         line_docs.join(dom_docs, "domain")
         .filter(
