@@ -260,3 +260,31 @@ def test_resegment_lifecycle(spark, segs, seg_rows):
         # section typing sanity
         for r in rows:
             assert got[r["elem_id"]]["section_type"] in ("debateSection", "commentSection")
+
+
+def test_corpus_stats(spark, segs, seg_rows):
+    """Stats-dashboard scan parity (generate-markdown.py:100-152):
+    pages/speeches/words per protocol-year vs a straight Python count."""
+    import re
+
+    from scripts_spark.plans.stats import corpus_stats
+
+    got = {r["year"]: r for r in corpus_stats(segs).collect()}
+    want: dict[int, list] = {}
+    for url, rows in _by_doc(seg_rows).items():
+        year = int(re.search(r"/(\d{4})/", url).group(1))
+        w = want.setdefault(year, [set(), 0, 0, 0])
+        w[0].add(url)
+        for r in rows:
+            if r["elem_type"] == "pb":
+                w[1] += 1
+            elif r["elem_type"] == "note" and r["type_attr"] == "speaker":
+                w[2] += 1
+            elif r["elem_type"] == "u" and r["text"] is not None:
+                w[3] += len([t for t in r["text"].split(" ") if t and t != "\n"])
+    assert set(got) == set(want)
+    for y, (urls, pages, speeches, words) in want.items():
+        g = got[y]
+        assert (g["n_protocols"], g["n_pages"], g["n_speeches"], g["n_words"]) == (
+            len(urls), pages, speeches, words
+        ), y
