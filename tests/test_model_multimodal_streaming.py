@@ -67,10 +67,91 @@ def test_multimodal_feature_plumbing(spark):
     assert feats["m1"]["features"] == again["m1"]["features"]
 
 
-def test_multimodal_decode_stub_raises(spark):
-    media = spark.createDataFrame([], MM.MEDIA_SCHEMA)
+def test_png_roundtrip_and_real_features(spark):
+    """PNG decode is REAL (stdlib zlib+struct): encode a gradient,
+    decode it back byte-identically, and extract_features(fake=False)
+    returns actual channel statistics through the Spark plumbing."""
+    w, h = 8, 4
+    rgb = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in (x * 32 % 256, y * 64 % 256, 200)
+    )
+    png = MM.encode_png(w, h, rgb)
+    assert MM.decode_png(png) == (w, h, rgb)
+    assert MM.decode_image(png)[0] == w
+
+    media = spark.createDataFrame(
+        [("p1", "image", png, "image/png", w, h, None)], MM.MEDIA_SCHEMA
+    )
+    row = MM.extract_features(media, fake=False).first()
+    f = row["features"]
+    assert (f[0], f[1]) == (float(w), float(h))
+    # blue channel is constant 200
+    assert abs(f[4] - 200 / 255) < 1e-6  # mean_b
+    assert abs(f[7] - 200 / 255) < 1e-6  # min_b
+    assert abs(f[10] - 200 / 255) < 1e-6  # max_b
+    assert abs(sum(f[11:16]) - 1.0) < 1e-6  # luma histogram sums to 1
+
+
+def test_png_all_filter_types_defilter():
+    """The decoder must reverse Sub/Up/Average/Paeth rows, not just
+    the encoder's filter-0: build an IDAT with one row per filter."""
+    import struct
+    import zlib
+
+    w, h = 4, 5
+    rows = [bytes((x * 17 + y * 29) % 256 for x in range(w * 3)) for y in range(h)]
+
+    def filt(f, row, prev):
+        out = bytearray([f])
+        for x in range(len(row)):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                out.append(row[x])
+            elif f == 1:
+                out.append((row[x] - a) & 0xFF)
+            elif f == 2:
+                out.append((row[x] - b) & 0xFF)
+            elif f == 3:
+                out.append((row[x] - (a + b) // 2) & 0xFF)
+            else:
+                out.append((row[x] - MM._paeth(a, b, c)) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(w * 3)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw += filt(f, rows[y], prev)
+        prev = rows[y]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        MM.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert MM.decode_png(png) == (w, h, b"".join(rows))
+
+
+def test_multimodal_non_png_decode_raises(spark):
     with pytest.raises(NotImplementedError):
-        MM.extract_features(media, fake=False)
+        MM.decode_image(b"\xff\xd8\xff jpeg-ish")
+    media = spark.createDataFrame(
+        [("a1", "audio", b"RIFF fake", "audio/wav", None, None, 4000)],
+        MM.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+        MM.extract_features(media, fake=False).collect()
 
 
 def test_frame_sample_positions(spark):
