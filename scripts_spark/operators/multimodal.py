@@ -9,10 +9,13 @@ signatures, partition sizing — is real and tested. Decoding:
   per-row filters, and `extract_features(fake=False)` computes actual
   per-channel statistics. `encode_png` (same file) builds valid PNGs
   for fixtures, so the roundtrip is pinned without any image library.
-- other image formats and audio remain STUBBED (JPEG/MP3 codecs are
-  not reimplementable here): NotImplementedError, or pass
-  ``fake=True`` for the deterministic content-hash stand-in that
-  exercises the distributed plumbing end-to-end.
+- **PCM WAV audio decodes for real** the same way (`decode_wav`:
+  RIFF chunk walk, struct-unpacked samples, duration/rms/zero-crossing
+  features; `encode_wav` builds fixtures).
+- compressed formats (JPEG/MP3/…) remain STUBBED — entropy codecs are
+  not reimplementable here: NotImplementedError, or pass ``fake=True``
+  for the deterministic content-hash stand-in that exercises the
+  distributed plumbing end-to-end with arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -182,8 +185,76 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     )
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub by design
-    raise NotImplementedError("audio decode requires soundfile/ffmpeg")
+# --------------------------------------------------- real WAV codec
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(rate: int, samples: list[int]) -> bytes:
+    """Minimal valid mono PCM16 WAV from integer samples — stdlib
+    only; used to build REAL audio fixtures."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a PCM16 WAV: returns (rate, channels, samples)."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, b""
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif tag == b"data":
+            data += body
+    if rate is None or not data:
+        raise NotImplementedError("missing fmt/data chunk")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return rate, channels, samples
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM real statistics from a decoded WAV: duration, rate,
+    channels, rms/min/max, zero-crossing rate, 8-bucket |amp| histogram."""
+    rate, channels, samples = decode_wav(payload)
+    n = max(len(samples), 1)
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    ) / max(n - 1, 1)
+    feats = [
+        1000.0 * len(samples) / (rate * max(channels, 1)),  # duration_ms
+        float(rate),
+        float(channels),
+        rms / 32768.0,
+        (min(samples) if samples else 0) / 32768.0,
+        (max(samples) if samples else 0) / 32768.0,
+        zc,
+    ]
+    hist = [0] * 8
+    for s in samples:
+        hist[min(abs(s) * 8 // 32768, 7)] += 1
+    feats += [c / n for c in hist]
+    feats.append(0.0)  # pad to FEATURE_DIM
+    assert len(feats) == FEATURE_DIM
+    return feats
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, list[int]]:
+    """Real decode for PCM16 WAV; compressed audio needs ffmpeg (not
+    in this container)."""
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
+    raise NotImplementedError("only PCM WAV decodes without audio libs")
 
 
 def extract_features(media: DataFrame, fake: bool = False,
@@ -204,7 +275,11 @@ def extract_features(media: DataFrame, fake: bool = False,
             return None
         if fake:
             return _fake_features(p)
-        return png_features(p)
+        if p.startswith(PNG_MAGIC):
+            return png_features(p)
+        if p.startswith(b"RIFF"):
+            return wav_features(p)
+        raise NotImplementedError("only PNG/WAV decode without media libs")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -143,14 +143,33 @@ def test_png_all_filter_types_defilter():
     assert MM.decode_png(png) == (w, h, b"".join(rows))
 
 
-def test_multimodal_non_png_decode_raises(spark):
+def test_wav_roundtrip_and_real_features(spark):
+    """PCM WAV decode is REAL: a 100-sample square wave roundtrips and
+    yields exact duration/min/max/zero-crossing features via Spark."""
+    samples = ([12000] * 10 + [-12000] * 10) * 5
+    wav = MM.encode_wav(8000, samples)
+    assert MM.decode_wav(wav) == (8000, 1, samples)
+    assert MM.decode_audio(wav)[0] == 8000
+    media = spark.createDataFrame(
+        [("a1", "audio", wav, "audio/wav", None, None, None)], MM.MEDIA_SCHEMA
+    )
+    f = MM.extract_features(media, fake=False).first()["features"]
+    assert abs(f[0] - 1000 * 100 / 8000) < 1e-6  # duration_ms = 12.5
+    assert (f[1], f[2]) == (8000.0, 1.0)
+    assert abs(f[3] - 12000 / 32768) < 1e-6  # rms of a square wave
+    assert abs(f[4] + 12000 / 32768) < 1e-6 and abs(f[5] - 12000 / 32768) < 1e-6
+
+
+def test_multimodal_undecodable_raises(spark):
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"ID3 mp3-ish")
     media = spark.createDataFrame(
-        [("a1", "audio", b"RIFF fake", "audio/wav", None, None, 4000)],
+        [("m1", "image", b"\xff\xd8\xff jpeg-ish", "image/jpeg", None, None, None)],
         MM.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+    with pytest.raises(Exception, match="NotImplementedError|PNG|WAV"):
         MM.extract_features(media, fake=False).collect()
 
 
