@@ -1780,3 +1780,78 @@ def ivf_assign_q(spark, sf_dir):
     return SIM.ivf_assign(e, cents).select(
         "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
     )
+
+
+def _char_trigram_profile(words: list[str], top: int = 30) -> list[str]:
+    """Deterministic char-trigram profile of a wordlist: the `top`
+    most frequent trigrams of ' '-padded words, count desc then
+    lexicographic — the classic n-gram language-ID heuristic
+    (Cavnar-Trenkle shape), built from the in-repo lexicons."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for w in words:
+        p = f" {w} "
+        for i in range(len(p) - 2):
+            c[p[i : i + 3]] += 1
+    return [g for g, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top]]
+
+
+_SV_TRI = _char_trigram_profile(_SV_WORDS)
+_EN_TRI = _char_trigram_profile(_EN_WORDS)
+_SV_TRI_LIT = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in _SV_TRI) + "]"
+_EN_TRI_LIT = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in _EN_TRI) + "]"
+
+
+@q(
+    "lang_ngram",
+    f"""
+    SELECT doc_id, sv_hits, en_hits,
+           CASE WHEN sv_hits > en_hits THEN 'sv'
+                WHEN en_hits > sv_hits THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+        CAST(len(list_intersect(tri, {_SV_TRI_LIT})) AS BIGINT) AS sv_hits,
+        CAST(len(list_intersect(tri, {_EN_TRI_LIT})) AS BIGINT) AS en_hits
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(t) - 2, 0)),
+                 i -> substr(t, CAST(i AS BIGINT), 3))) AS tri
+        FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)))
+    """,
+)
+def lang_ngram(spark, sf_dir):
+    """Character n-gram language-ID heuristic (task brief): distinct
+    char trigrams of the padded lowercased text intersected with
+    deterministic per-language trigram profiles built from the in-repo
+    lexicons; argmax with 'unknown' ties. Complements the word-level
+    scorer in functions/langid.py — the trigram form survives
+    agglutination and OCR-mangled word boundaries."""
+    d = T(spark, sf_dir, "documents")
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not an
+    # empty array — an empty text must produce zero trigrams like the
+    # oracle's generate_series does
+    tri = F.when(
+        F.length(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: F.substr(t, i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sv = F.array(*[F.lit(g) for g in _SV_TRI])
+    en = F.array(*[F.lit(g) for g in _EN_TRI])
+    d = d.select(
+        "doc_id",
+        F.size(F.array_intersect(tri, sv)).cast("long").alias("sv_hits"),
+        F.size(F.array_intersect(tri, en)).cast("long").alias("en_hits"),
+    )
+    pred = (
+        F.when(F.col("sv_hits") > F.col("en_hits"), F.lit("sv"))
+        .when(F.col("en_hits") > F.col("sv_hits"), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.withColumn("lang_pred", pred)
