@@ -25,6 +25,15 @@ _PY_WS = (
 )
 WS_RUN = f"[{_PY_WS}]+"
 
+# The same set as ACTUAL CHARACTERS (not a regex class) for
+# btrim/trim(chars) parity with Python str.strip() — DuckDB's trim()
+# accepts the identical set, so oracles can share it verbatim.
+PY_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+    "           "
+    "    　"
+)
+
 # Rule versions feed the lineage struct; bump on any semantic change.
 KERNEL_VERSIONS = {
     "normalize_ws": "1.0",
@@ -203,14 +212,26 @@ def join_intro_texts(t1: Column, t2: Column) -> Column:
     )
 
 
+def _quote_replacement(c: Column) -> Column:
+    """Java Matcher.quoteReplacement semantics: escape '\\' and '$' so a
+    dictionary value containing them is inserted LITERALLY instead of
+    being read as a group reference (or erroring) by regexp_replace."""
+    return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit("$"), F.lit("\\$"))
+
+
 def correct_allcaps(intro: Column, correct: Column) -> Column:
     """Replace every ALLCAPS run with ' ' + the dictionary correction —
     exactly the reference's re.sub(allcaps, f' {D[m]["correct"]}', intro)
     (classify_join_intros.py:159). ``correct`` is null-safe: null ⇒
-    intro unchanged (surname not in the dictionary)."""
+    intro unchanged (surname not in the dictionary). The correction is
+    replacement-quoted so '$'/'\\' in a dictionary value stay literal."""
     return F.when(
         correct.isNotNull(),
-        F.regexp_replace(intro, F.lit(ALLCAPS_PATTERN), F.concat(F.lit(" "), correct)),
+        F.regexp_replace(
+            intro,
+            F.lit(ALLCAPS_PATTERN),
+            F.concat(F.lit(" "), _quote_replacement(correct)),
+        ),
     ).otherwise(intro)
 
 
@@ -260,7 +281,10 @@ def iort_pairs(col: Column) -> Column:
     'åter ' and is trimmed. Unlike the reference we drop pieces that
     trim to '' (the reference's `if c:` check runs pre-strip, so a
     lone space could slip through as an empty ort — a bug, not a
-    semantic)."""
+    semantic). A row whose head has NO ' i '/' I ' separator at all is
+    malformed (the reference logs and skips it): it yields an EMPTY
+    array — filterable — rather than a silent (whole-string, '')
+    record. Mirrored by textoracle.iort_pairs returning []."""
     has_senare = col.contains("senare")
     primary = F.btrim(F.btrim(F.substring_index(col, "senare", 1), F.lit(" ")), F.lit(","))
     base = F.when(has_senare, primary).otherwise(
@@ -283,10 +307,12 @@ def iort_pairs(col: Column) -> Column:
     )
     extra = F.when(has_senare, orter).otherwise(F.array().cast("array<string>"))
     all_orter = F.concat(F.array(F.trim(ort1)), extra)
-    return F.transform(
+    structs = F.transform(
         all_orter,
         lambda o: F.struct(F.trim(surname).alias("surname"), o.alias("iort")),
     )
+    empty = F.array().cast("array<struct<surname:string,iort:string>>")
+    return F.when(base.contains(" i "), structs).otherwise(empty)
 
 
 # --- metadata kernels (wikidata_query.py) -----------------------------

@@ -119,9 +119,18 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # length + tag + data + crc
         if tag == b"IHDR":
-            width, height, depth, ctype = struct.unpack(">IIBB", data[:10])
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
             if depth != 8 or ctype != 2:
                 raise NotImplementedError("only 8-bit RGB PNGs supported")
+            # Adam7-interlaced (or nonstandard compression/filter
+            # method) data would be silently de-filtered as garbage —
+            # refuse loudly instead
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only non-interlaced deflate/adaptive-filter PNGs supported"
+                )
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":

@@ -204,8 +204,15 @@ def find_toc(segs: DataFrame) -> DataFrame:
 
     Adds (status, in_toc) to the segments frame; both window passes
     share the per-url partitioning, so this costs one shuffle."""
+    from scripts_spark.functions.text_kernel import PY_WS_CHARS
+
     dw = Window.partitionBy("url")
-    is_heading = F.lower(F.trim(F.col("text"))) == "innehållsförteckning"
+    # Python .strip() parity: trim the FULL whitespace set, not just
+    # ASCII space (F.trim) — XML text nodes pad headings with
+    # newlines/tabs/nbsp (round-2 advice)
+    is_heading = (
+        F.lower(F.btrim(F.col("text"), F.lit(PY_WS_CHARS))) == "innehållsförteckning"
+    )
     segs = segs.withColumn(
         "_heading_pos", F.min(F.when(is_heading, F.col("pos"))).over(dw)
     )

@@ -109,7 +109,11 @@ def join_intro_texts(t1: str, t2: str) -> str:
 def correct_allcaps(intro: str, correct: str | None) -> str:
     if correct is None:
         return intro
-    return _ALLCAPS.sub(" " + correct, intro)
+    # replacement-quote: '\' is the only special char in a Python re
+    # replacement — escape it so a dictionary value containing '\' or
+    # '\g' is inserted literally (mirrors Matcher.quoteReplacement on
+    # the Spark side; both engines then emit the same literal text)
+    return _ALLCAPS.sub(" " + correct.replace("\\", "\\\\"), intro)
 
 
 # --- protocol-id surgery ----------------------------------------------
@@ -140,6 +144,8 @@ def iort_pairs(s: str) -> list[tuple[str, str]]:
     if "senare" in s:
         primary, rest = s.split("senare", 1)
         primary = primary.strip(" ").strip(",")
+        if " i " not in primary:
+            return []  # malformed head: no separator — skip, don't raise
         surname, ort1 = primary.split(" i ", 1)
         orter = []
         for a in rest.split(","):
@@ -152,6 +158,8 @@ def iort_pairs(s: str) -> list[tuple[str, str]]:
                         orter.append(c)
         return [(surname.strip(), ort1.strip())] + [(surname.strip(), o) for o in orter]
     base = s if " i " in s else s.replace(" I ", " i ")
+    if " i " not in base:
+        return []  # malformed row: no ' i '/' I ' separator — skip
     surname, ort = base.split(" i ", 1)
     return [(surname.strip(), ort.strip())]
 

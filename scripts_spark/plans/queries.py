@@ -1254,27 +1254,40 @@ def kwic_occurrences(spark, sf_dir):
     pure Column math + one window, no Python. The reference's
     negative-slice artifact for matches within the first 45 chars
     (txt[s-45:s] wraps around in Python) is deliberately NOT
-    reproduced; left context clamps at the string start."""
+    reproduced; left context clamps at the string start.
+
+    Scale note (round-3 fix): the running-offset window carries ONLY
+    (doc_id, idx, match, len_b) — a doc with k matches no longer ships
+    k copies of its full text through the window exchange. The text
+    joins back exactly once afterwards (the window output is already
+    hash-partitioned by doc_id, so only the documents side shuffles)
+    and is dropped immediately after the two substr context slices.
+    Pinned by tests/test_plans.py::test_kwic_window_excludes_text."""
     P = "[a-z]*join[a-z]*"
-    d = T(spark, sf_dir, "documents")
-    ms = F.regexp_extract_all("text", F.lit(P), F.lit(0))
-    d = d.select("doc_id", "text", F.split("text", P).alias("bs"), ms.alias("ms"))
-    x = d.select(
-        "doc_id", "text", "bs", F.posexplode("ms").alias("idx", "match")
-    ).withColumn("b", F.element_at("bs", F.col("idx") + 1))
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.expr(
+            f"zip_with(regexp_extract_all(text, '{P}', 0),"
+            f" slice(split(text, '{P}'), 1,"
+            f"  size(regexp_extract_all(text, '{P}', 0))),"
+            " (m, b) -> struct(m AS match, length(b) AS len_b))"
+        ).alias("z"),
+    )
+    x = base.select("doc_id", F.posexplode("z").alias("idx", "p")).select(
+        "doc_id", "idx", F.col("p.match").alias("match"), F.col("p.len_b").alias("len_b")
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(F.length("b") + F.length("match")).over(w)
-    x = x.withColumn("cum", cum)
-    start = F.col("cum") - F.length("match")
-    return x.select(
+    x = x.withColumn("cum", F.sum(F.col("len_b") + F.length("match")).over(w))
+    return x.join(d, "doc_id").select(
         "doc_id",
         F.col("idx").cast("long").alias("match_idx"),
         "match",
-        start.cast("long").alias("match_start"),
+        (F.col("cum") - F.length("match")).cast("long").alias("match_start"),
         F.col("cum").cast("long").alias("match_end"),
         F.expr(
             "substr(text, greatest(cum - length(match) - 45, 0) + 1,"
@@ -1299,6 +1312,11 @@ _TOC_ROWS = [
     ("p4", 1, "seg", "innehållsförteckning"),
     ("p4", 2, "pb", None),
     ("p4", 3, "seg", "slut"),
+    # heading padded with newline/tab/nbsp: Python-.strip() parity —
+    # F.trim (ASCII space only) would misclassify this doc as no_toc
+    ("p5", 0, "pb", None),
+    ("p5", 1, "note", "\n\tInnehållsförteckning "),
+    ("p5", 2, "seg", "Ärende 9 .... sid 2"),
 ]
 _TOC_SQL_ROWS = ", ".join(
     "('%s', %d, '%s', %s)" % (u, p, t, "NULL" if x is None else "'%s'" % x)
@@ -1312,7 +1330,7 @@ _TOC_SQL_ROWS = ", ".join(
     WITH e(url, pos, elem_type, text) AS (VALUES {_TOC_SQL_ROWS}),
     h AS (
       SELECT url, pos, elem_type,
-             MIN(CASE WHEN lower(trim(text)) = 'innehållsförteckning'
+             MIN(CASE WHEN lower(trim(text, '{TK.PY_WS_CHARS}')) = 'innehållsförteckning'
                       THEN pos END) OVER (PARTITION BY url) AS hpos,
              text
       FROM e),
@@ -1348,6 +1366,12 @@ _INTRO_ROWS = [
 _INTRO_SQL_ROWS = ", ".join(f"('{i}', '{a}', '{b}')" for i, a, b in _INTRO_ROWS)
 _CORR_ROWS = [("ANDERS-SON", "ANDERSSON"), ("PETTERS-SON", "PETTERSSON")]
 _CORR_SQL_ROWS = ", ".join(f"('{w}', '{c}')" for w, c in _CORR_ROWS)
+# NOTE: DuckDB's RE2 \b is ASCII-only while the Spark/Python kernels
+# use a Unicode-aware (?U)\b — a surname STARTING with Å/Ä/Ö would
+# extract differently here (e.g. 'KESSON' vs 'ÅKESSON'). The
+# _INTRO_ROWS fixture is therefore constrained to ASCII word
+# boundaries; non-ASCII-initial surnames are covered engine-to-engine
+# (Spark vs Python oracle) in tests/test_text_kernel.py instead.
 _ALLCAPS_SQL = r"\b[A-ZÀ-Þ -]{3,}\b"
 
 
@@ -1469,6 +1493,9 @@ _IORT_ROWS = [
     ("q2", "Larsson i Lund, senare Malmö, Ystad o Trelleborg"),
     ("q3", "Berg i Umeå senare åter Luleå och Boden"),
     ("q4", "Ek I Uppsala"),
+    # malformed: no ' i '/' I ' separator — must yield NO rows (the
+    # reference logs and skips such catalog rows), not a ('…','') pair
+    ("q5", "Svensson utan ort"),
 ]
 _IORT_SQL_ROWS = ", ".join(f"('{i}', '{s}')" for i, s in _IORT_ROWS)
 
@@ -1489,7 +1516,8 @@ _IORT_SQL_ROWS = ", ".join(f"('{i}', '{s}')" for i, s in _IORT_ROWS)
              trim(string_split(prim, ' i ')[1]) AS surname,
              trim(substr(prim, length(string_split(prim, ' i ')[1]) + 4)) AS ort1,
              CASE WHEN has THEN substr(s, strpos(s, 'senare') + 6) ELSE '' END AS rest
-      FROM base),
+      FROM base
+      WHERE contains(prim, ' i ')),
     lists AS (
       SELECT wiki_id, surname,
              list_concat(

@@ -75,6 +75,24 @@ def test_correct_allcaps(spark):
     assert got[0] == "Herr ANDERSSONi Göteborg:"
 
 
+def test_correct_allcaps_replacement_quoting(spark):
+    """A dictionary value containing '$' or '\\' must be inserted
+    LITERALLY — Java would read '$1' as a group reference (error) and
+    Python '\\g' as a bad escape without replacement quoting."""
+    cases = [
+        ("Herr ANDERS-SON i X:", "A$1B"),
+        ("Herr ANDERS-SON i X:", "A\\gB"),
+        ("Herr ANDERS-SON i X:", "A\\\\B"),
+    ]
+    df = spark.createDataFrame(cases, "s string, c string")
+    got = [
+        r["o"]
+        for r in df.select(TK.correct_allcaps(F.col("s"), F.col("c")).alias("o")).collect()
+    ]
+    assert got == [O.correct_allcaps(s, c) for s, c in cases]
+    assert got[0] == "Herr A$1Bi X:"
+
+
 # --------------------------------------------------- protocol surgery
 def test_protocol_id_build_and_pad(spark):
     rows = [("1971/72", 12), ("201718", 101), ("1999/2000", 7)]
@@ -103,6 +121,9 @@ IORT_CASES = [
     "Berg i Umeå senare åter Luleå och Boden",
     "Ek I Uppsala",
     "Nord i Piteå senareåter Boden",
+    # malformed (no separator): both engines yield NO pairs, not ('…','')
+    "Svensson utan ort",
+    "konstig, senare Boden",
 ]
 
 

@@ -142,6 +142,19 @@ def test_png_all_filter_types_defilter():
     )
     assert MM.decode_png(png) == (w, h, b"".join(rows))
 
+    # Adam7-interlaced data must be refused loudly, not de-filtered as
+    # garbage pixels (round-2 advice)
+    bad = (
+        MM.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_png(bad)
+
 
 def test_wav_roundtrip_and_real_features(spark):
     """PCM WAV decode is REAL: a 100-sample square wave roundtrips and

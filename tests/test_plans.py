@@ -143,6 +143,23 @@ def test_ivf_centroid_selection_is_top_k(spark):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
+def test_kwic_window_excludes_text(spark):
+    """kwic_occurrences' running-offset window must carry lengths only:
+    a doc with k matches must not ship k copies of its text (or the
+    split-segments array) through the window exchange."""
+    df = Q.REGISTRY["kwic_occurrences"](spark, SF)
+    plan = _formatted(df)
+    lines = plan.splitlines()
+    win_inputs = []
+    for i, l in enumerate(lines):
+        if ") Window" in l:
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].startswith("Input"):
+                    win_inputs.append(lines[j])
+    assert win_inputs, plan[:2000]
+    assert all("text" not in l and "bs" not in l for l in win_inputs), win_inputs
+
+
 def test_interval_join_is_broadcast_nlj(spark):
     plan = _plan(Q.REGISTRY["interval_tier_join"](spark, SF))
     # non-equi join against broadcast dim → BroadcastNestedLoopJoin,
