@@ -132,15 +132,23 @@ def minhash_dedup(df: DataFrame, key: str, text_col: str = "text",
     return jaccard_verify(df, cand, key, text_col, threshold=threshold)
 
 
-def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 32,
+            hash_fn=None, token_expr: Column | None = None) -> DataFrame:
     """SimHash fingerprint: per token, xxhash64 → take `bits` bits;
     weighted bit-vote via token counts; fingerprint bit i = sign of the
-    vote. Pure aggregation — one shuffle on (key, token) then one on key."""
+    vote. Pure aggregation — one shuffle on (key, token) then one on key.
+
+    ``hash_fn``/``token_expr`` let the driver-oracle query swap in the
+    engine-portable md5 hash family and a plain space tokenizer
+    (plans/queries.simhash_pairs); the defaults are the fast
+    production forms."""
+    hash_fn = hash_fn or F.xxhash64
+    tok_arr = token_expr if token_expr is not None else tokens(F.col(text_col))
     tok = (
-        df.select(F.col(key), F.explode(tokens(F.col(text_col))).alias("token"))
+        df.select(F.col(key), F.explode(tok_arr).alias("token"))
         .groupBy(key, "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("token"))
+        .withColumn("h", hash_fn(F.col("token")))
     )
     votes = [
         F.sum(

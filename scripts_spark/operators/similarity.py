@@ -213,9 +213,43 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, key: str = "vec_id",
     )
 
 
+def ivf_centroids_lloyd(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
+                        vec_col: str = "embedding", iters: int = 1) -> DataFrame:
+    """IVF index build beyond k-means-0: ``iters`` Lloyd refinement
+    passes over the seeded centroids. Each pass assigns every vector
+    (ivf_assign's quantized-integer argmax) and recomputes each centroid
+    as its cluster mean — computed from EXACT long sums of the
+    milli-quantized components, so the result is bit-deterministic
+    under any partitioning (no float-sum-order hazard). Empty clusters
+    keep their previous centroid. Each pass is one assignment pass +
+    one (centroid_id, dim) agg — both partial-agg'd, both scale."""
+    cents = ivf_centroids(emb, n_lists, key, vec_col)
+    for _ in range(iters):
+        assign = ivf_assign(emb, cents, key, vec_col)
+        ex = (
+            emb.select(F.col(key), _quantized(F.col(vec_col)).alias("_q"))
+            .join(assign, key)
+            .select("centroid_id", F.posexplode("_q").alias("d", "x"))
+        )
+        m = ex.groupBy("centroid_id", "d").agg(
+            F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+        )
+        refined = m.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "sx", "n"))),
+                lambda s: s["sx"].cast("double") / s["n"] / 1000.0,
+            ).alias("_new")
+        )
+        cents = cents.join(refined, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("_new", "centroid_vec").alias("centroid_vec")
+        )
+    return cents
+
+
 def ann_topk_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
                  n_lists: int = 16, n_probe: int = 4,
-                 key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 key: str = "vec_id", vec_col: str = "embedding",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the n_probe centroid lists nearest
     the query and run exact cosine only inside them. At scale the
     assignment is computed once (a stored index column / partition
@@ -223,8 +257,7 @@ def ann_topk_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
     clustered-pruning alternative to the hyperplane-LSH path."""
     import math
 
-    spark = emb.sparkSession
-    cents = ivf_centroids(emb, n_lists, key, vec_col)
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_lists, key, vec_col)
     assign = ivf_assign(emb, cents, key, vec_col)
     # rank centroids vs the query on the driver: n_lists rows, trivial
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0

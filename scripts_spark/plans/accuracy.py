@@ -127,6 +127,49 @@ def score_against_gold(decisions: DataFrame, gold: DataFrame,
     return out
 
 
+def accuracy_rollup(decisions: DataFrame, gold: DataFrame,
+                    pred_col: str = "keep", gold_col: str = "gold_keep",
+                    stratum_col: str = "decade",
+                    scale: int = 1_000_000) -> DataFrame:
+    """DataFrame form of score_against_gold (J9+A4): per-stratum
+    correct/total rollup with integer-scaled Beta(5%,95%) credible
+    bounds, the segmentation_accuracy_estimate.py:108-125 decade table.
+
+    The Beta quantiles are computed driver-side on the DISTINCT
+    (n_correct, n_total) pairs — at most one row per stratum, the same
+    tiny aggregate the reference iterates — then broadcast-joined back,
+    so the result stays a DataFrame and the bounds are exact integers
+    (micro-units) that hash identically across engines."""
+    j = decisions.join(gold, "doc_id", "inner")
+    agg = j.groupBy(stratum_col).agg(
+        F.sum((F.col(pred_col) == F.col(gold_col)).cast("long")).alias("n_correct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    pairs = agg.select("n_correct", "n_total").distinct().collect()
+    lut = decisions.sparkSession.createDataFrame(
+        [
+            (
+                int(r["n_correct"]),
+                int(r["n_total"]),
+                int(round(beta_ppf(0.05, r["n_correct"] + 1.0,
+                                   r["n_total"] - r["n_correct"] + 1.0) * scale)),
+                int(round(beta_ppf(0.95, r["n_correct"] + 1.0,
+                                   r["n_total"] - r["n_correct"] + 1.0) * scale)),
+            )
+            for r in pairs
+        ],
+        "n_correct long, n_total long, ci_low_micro long, ci_high_micro long",
+    )
+    return agg.join(F.broadcast(lut), ["n_correct", "n_total"]).select(
+        stratum_col,
+        "n_correct",
+        "n_total",
+        (F.col("n_correct").cast("double") / F.col("n_total")).alias("accuracy"),
+        "ci_low_micro",
+        "ci_high_micro",
+    )
+
+
 def keep_f1(decisions: DataFrame, gold: DataFrame,
             pred_col: str = "keep", gold_col: str = "gold_keep") -> dict:
     """Precision/recall/F1 of the keep decision vs gold."""

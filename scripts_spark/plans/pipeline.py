@@ -195,6 +195,14 @@ def boilerplate_sets(docs: DataFrame, cfg: CurateConfig) -> DataFrame:
     line_docs = cand_lines.groupBy("domain", "para").agg(
         F.count(F.lit(1)).alias("line_docs")
     )
+    return boiler_sets_from_counts(line_docs, dom_docs, cfg)
+
+
+def boiler_sets_from_counts(line_docs: DataFrame, dom_docs: DataFrame,
+                            cfg: CurateConfig) -> DataFrame:
+    """Threshold + collect step shared by the batch two-pass path and
+    the streaming cross-batch merge: (domain, para, line_docs) ×
+    (domain, domain_docs) → (domain, boiler_set)."""
     boiler = (
         line_docs.join(dom_docs, "domain")
         .filter(
@@ -206,6 +214,29 @@ def boilerplate_sets(docs: DataFrame, cfg: CurateConfig) -> DataFrame:
         )
     )
     return boiler.groupBy("domain").agg(F.collect_set("para").alias("boiler_set"))
+
+
+def boiler_line_evidence(docs: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, DataFrame]:
+    """EXACT per-input (domain, para, line_docs) + (domain, domain_docs)
+    counts — the incremental evidence unit for cross-batch boilerplate
+    (streaming/jobs.stream_curate exact_boilerplate mode). Counts are
+    additive across disjoint inputs, so per-batch tables merged by SUM
+    equal one exact pass over the union.
+
+    Unlike boilerplate_sets' hash-then-confirm, this keeps the
+    paragraph STRINGS: a line rare in every single batch but common
+    across batches must survive into the merged state, so no per-batch
+    candidate pruning is sound. At 100 TB the stored state would use
+    (domain, hash) keys plus a confirm pass at merge time — same
+    two-pass trick, applied to the state table instead."""
+    lines = docs.select(
+        "domain", F.explode(F.array_distinct("paras")).alias("para")
+    )
+    line_docs = lines.groupBy("domain", "para").agg(
+        F.count(F.lit(1)).alias("line_docs")
+    )
+    dom_docs = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("domain_docs"))
+    return line_docs, dom_docs
 
 
 def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
@@ -246,17 +277,22 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
     return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
 
 
-def curate(pages: DataFrame, cfg: CurateConfig | None = None) -> DataFrame:
+def curate(pages: DataFrame, cfg: CurateConfig | None = None,
+           boiler_override: DataFrame | None = None) -> DataFrame:
     """Full pipeline → decision frame (SURVEY.md §7.0 output schema +
-    bucket column for manifests/metrics)."""
+    bucket column for manifests/metrics).
+
+    ``boiler_override``: a precomputed (domain, boiler_set) frame to use
+    instead of this input's own boilerplate_sets — the seam streaming
+    uses to strip against evidence merged across micro-batches."""
     cfg = cfg or CurateConfig()
     docs = deduped_docs(pages, cfg)
     # three consumers read this frame (boilerplate line counts, domain
     # doc counts, and the main decision branch) — without the persist
     # each would recompute the scan + url-dedup window + repair chain
-    if cfg.persist_intermediate:
+    if cfg.persist_intermediate and boiler_override is None:
         docs = docs.persist()
-    boiler = boilerplate_sets(docs, cfg)
+    boiler = boilerplate_sets(docs, cfg) if boiler_override is None else boiler_override
 
     d = docs.join(F.broadcast(boiler), "domain", "left")
     bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))

@@ -1883,3 +1883,301 @@ def lang_ngram(spark, sf_dir):
         .otherwise(F.lit("unknown"))
     )
     return d.withColumn("lang_pred", pred)
+
+
+# ============ batch 4 (round 3): promote pytest-only §2 operators ======
+from scripts_spark.operators import dedup as D  # noqa: E402
+from scripts_spark.operators import joins as J  # noqa: E402
+
+
+def _sql_vals(rows) -> str:
+    """VALUES literal for fixture rows (None → NULL, ints bare)."""
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        return "'%s'" % v
+    return ", ".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+
+
+# --- W1+W2+W3+W4: the full section lifecycle as one oracle'd query ----
+_SEG_ROWS = [
+    # url, pos, elem_type, type_attr, text, prev, next
+    ("s1", 0, "note", None, "Protokoll 1971:12", None, "a1"),
+    ("s1", 1, "seg", None, "  § 1 Val av talman", "a0", "a2"),
+    ("s1", 2, "note", "speaker", "Herr TALMANNEN:", "a1", "a3"),
+    ("s1", 3, "u", None, "Jag förklarar sammanträdet öppnat", "a2", "a4"),
+    ("s1", 4, "u", None, "Vidare anförande", "a3", "a5"),
+    ("s1", 5, "seg", None, "§ 2 Andra ärendet", "a4", "a6"),
+    ("s1", 6, "u", None, "yttrande utan intro — ska demoteras", "a5", "a7"),
+    ("s1", 7, "note", "speaker", "Fru ANDERSSON:", "a6", "a8"),
+    ("s1", 8, "u", None, "Tack herr talman", "a7", "a9"),
+    ("s2", 0, "seg", None, "§ 1 Enda ärendet", None, "b1"),
+    ("s2", 1, "u", None, "ingen talare alls här", "b0", "b2"),
+    ("s2", 2, "note", None, "slutnot", "b1", None),
+]
+
+
+@q(
+    "section_lifecycle",
+    f"""
+    WITH e(url, pos, elem_type, type_attr, text, prev, next) AS (
+      VALUES {_sql_vals(_SEG_ROWS)}),
+    s AS (
+      SELECT *, SUM(CASE WHEN contains(substr(ltrim(text), 1, 4), '§')
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY url ORDER BY pos) AS section_id
+      FROM e),
+    t AS (
+      SELECT *,
+        CASE WHEN MAX(CASE WHEN elem_type = 'note' AND type_attr = 'speaker'
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY url, section_id) = 1
+             THEN 'debateSection' ELSE 'commentSection' END AS section_type,
+        MIN(CASE WHEN elem_type = 'note' AND type_attr = 'speaker' THEN pos END)
+            OVER (PARTITION BY url, section_id) AS first_intro
+      FROM s),
+    d AS (
+      SELECT url, pos, section_id, section_type, prev, next,
+        CASE WHEN elem_type = 'u' AND (first_intro IS NULL OR pos < first_intro)
+             THEN 'note' ELSE elem_type END AS elem_type
+      FROM t),
+    c AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY url, section_id ORDER BY pos) AS rn_a,
+        row_number() OVER (PARTITION BY url, section_id ORDER BY pos DESC) AS rn_d
+      FROM d)
+    SELECT url, CAST(pos AS BIGINT) AS pos, elem_type,
+           CAST(section_id AS BIGINT) AS section_id, section_type,
+           CASE WHEN rn_a = 1 THEN NULL ELSE prev END AS prev,
+           CASE WHEN rn_d = 1 THEN NULL ELSE next END AS next
+    FROM c
+    """,
+)
+def section_lifecycle(spark, sf_dir):
+    """W1+W2+W3+W4 as one pipeline over a segments fixture
+    (/root/reference/src/cur-prot/split_into_sections.py:28-108):
+    '§'-prefix sessionization, debate/comment section typing by
+    speaker-note presence, pre-intro utterance demotion, and first/last
+    prev/next cleanup. One shuffle on url carries all four window
+    passes (shared partitioning)."""
+    segs = spark.createDataFrame(
+        _SEG_ROWS,
+        "url string, pos long, elem_type string, type_attr string,"
+        " text string, prev string, next string",
+    )
+    s = W.sessionize_sections(segs, W.section_break_expr())
+    s = W.type_sections(s)
+    s = W.demote_pre_intro(s)
+    s = W.clean_first_last(s)
+    return s.select(
+        "url", "pos", "elem_type",
+        F.col("section_id").cast("long").alias("section_id"),
+        "section_type", "prev", "next",
+    )
+
+
+# --- J5: containment join + unique-page arbitration -------------------
+_SENT_ROWS = [
+    ("n1", "första meningen"),
+    ("n2", "unik på sidan två"),
+    ("n3", "finns på båda sidorna"),
+    ("n4", "saknas helt i materialet"),
+]
+_PAGE_ROWS = [
+    ("pg1", "här är första meningen och även finns på båda sidorna med"),
+    ("pg2", "unik på sidan två och dessutom finns på båda sidorna"),
+]
+
+
+@q(
+    "containment_pages",
+    f"""
+    WITH s(sid, sentence) AS (VALUES {_sql_vals(_SENT_ROWS)}),
+    p(page, page_text) AS (VALUES {_sql_vals(_PAGE_ROWS)}),
+    hits AS (
+      SELECT s.sentence, p.page
+      FROM s JOIN p ON contains(p.page_text, s.sentence)),
+    arb AS (
+      SELECT sentence, COUNT(DISTINCT page) AS n_pages, MIN(page) AS page
+      FROM hits GROUP BY sentence)
+    SELECT sentence, page FROM arb WHERE n_pages = 1
+    """,
+)
+def containment_pages(spark, sf_dir):
+    """J5 containment join + unique-page filter
+    (/root/reference/src/add_modern_pagenumbers.py:102-123): locate
+    sentences on pages by substring containment, keep only sentences
+    found on exactly one distinct page (the reference's early-exit-at-2
+    check has identical semantics)."""
+    sents = spark.createDataFrame(_SENT_ROWS, "sid string, sentence string")
+    pages = spark.createDataFrame(_PAGE_ROWS, "page string, page_text string")
+    return J.containment_join_unique_page(sents, pages).select("sentence", "page")
+
+
+# --- SimHash near-pairs with the portable md5 hash family -------------
+_SIMHASH_BITS = 32
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP_SQL = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+
+@q(
+    "simhash_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t),
+    h AS (
+      SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT AS BIGINT) AS h
+      FROM tok),
+    v AS (SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS simhash FROM v),
+    blocks AS (
+      SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 8)) & 255 AS blk_key
+      FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(blk)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+             CAST(bit_count(xor(a.simhash, b.simhash) & 4294967295) AS INTEGER)
+               AS hamming
+      FROM blocks a
+      JOIN blocks b ON a.blk = b.blk AND a.blk_key = b.blk_key
+                   AND a.doc_id < b.doc_id)
+    SELECT key_a, key_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over documents (SURVEY extras, pigeonhole
+    block join): 32-bit weighted-bit-vote fingerprints, 4 blocks of 8
+    bits (hamming ≤ 3 ⇒ ≥1 identical block), bit_count verify. The
+    portable hash family is the first 8 md5 hex chars as an integer —
+    identical in Spark (conv(…,16,10)) and DuckDB ((‘0x’||…)::UBIGINT);
+    the fast production form is operators/dedup.simhash (xxhash64)."""
+    d = T(spark, sf_dir, "documents")
+    hash32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    fp = D.simhash(
+        d, "doc_id", bits=_SIMHASH_BITS, hash_fn=hash32,
+        token_expr=_tokens(F.col("text")),
+    )
+    pairs = D.simhash_near_pairs(fp, "doc_id", max_hamming=3, bits=_SIMHASH_BITS, blocks=4)
+    return pairs.select(
+        "key_a", "key_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# --- J9+A4: gold-label scoring with Beta-CI decade rollup -------------
+_GOLD_DOCS = []
+_gi = 0
+for _dec, _n in [(1860, 6), (1870, 8), (1880, 10), (1890, 12)]:
+    for _k in range(_n):
+        _GOLD_DOCS.append((f"g{_gi:02d}", _dec, _gi % 3 != 0, _gi % 4 != 0))
+        _gi += 1
+
+# engine-portable Beta(5%,95%) bounds: micro-unit integers from the
+# same beta_ppf both the Spark path (accuracy_rollup) and this oracle
+# use — identical by construction, so the value hash is exact
+_CI_LUT = [
+    (
+        nc,
+        nt,
+        int(round(ACC.beta_ppf(0.05, nc + 1.0, nt - nc + 1.0) * 1_000_000)),
+        int(round(ACC.beta_ppf(0.95, nc + 1.0, nt - nc + 1.0) * 1_000_000)),
+    )
+    for nt in (6, 8, 10, 12)
+    for nc in range(nt + 1)
+]
+
+
+@q(
+    "gold_decade_rollup",
+    f"""
+    WITH g(doc_id, decade, pred, gold) AS (VALUES {_sql_vals(_GOLD_DOCS)}),
+    lut(n_correct, n_total, ci_low_micro, ci_high_micro) AS (
+      VALUES {_sql_vals(_CI_LUT)}),
+    a AS (
+      SELECT decade,
+             CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM g GROUP BY decade)
+    SELECT CAST(a.decade AS BIGINT) AS decade, a.n_correct, a.n_total,
+           CAST(a.n_correct AS DOUBLE) / a.n_total AS accuracy,
+           CAST(l.ci_low_micro AS BIGINT) AS ci_low_micro,
+           CAST(l.ci_high_micro AS BIGINT) AS ci_high_micro
+    FROM a JOIN lut l ON l.n_correct = a.n_correct AND l.n_total = a.n_total
+    """,
+)
+def gold_decade_rollup(spark, sf_dir):
+    """J9 gold-label join + A4 decade rollup with Beta(5%,95%) credible
+    bounds (/root/reference/src/segmentation_accuracy_estimate.py:108-125):
+    per-decade accuracy of keep predictions vs gold labels. The Beta
+    quantiles come from plans/accuracy.beta_ppf on the tiny per-stratum
+    aggregate (driver-side like the reference), broadcast-joined back as
+    exact micro-unit integers."""
+    docs = spark.createDataFrame(
+        _GOLD_DOCS, "doc_id string, decade long, pred boolean, gold boolean"
+    )
+    dec = docs.select("doc_id", "decade", "pred")
+    gold = docs.select("doc_id", "gold")
+    return ACC.accuracy_rollup(
+        dec, gold, pred_col="pred", gold_col="gold", stratum_col="decade"
+    )
+
+
+# --- version-over-version release trend (stats dashboard tail) --------
+from scripts_spark.plans import stats as ST  # noqa: E402
+
+_REL_ROWS = [
+    ("v0.9.2", 4100, 912000, 903),
+    ("v0.10.0", 4180, 930000, 917),
+    ("v0.9.10", 4150, 921000, 910),
+    ("v0.14.0", 4290, 958000, 934),
+    ("v0.14.1", 4292, 958400, 935),
+    ("v1.0.0", 4300, 961000, 941),
+]
+
+
+@q(
+    "version_trend",
+    f"""
+    WITH v(version, n_protocols, n_words, acc_milli) AS (
+      VALUES {_sql_vals(_REL_ROWS)}),
+    k AS (
+      SELECT *,
+        CAST(string_split(substr(version, 2), '.')[1] AS INTEGER) AS a,
+        CAST(string_split(substr(version, 2), '.')[2] AS INTEGER) AS b,
+        CAST(string_split(substr(version, 2), '.')[3] AS INTEGER) AS c
+      FROM v)
+    SELECT version,
+           CAST(n_protocols AS BIGINT) AS n_protocols,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(acc_milli AS BIGINT) AS acc_milli,
+           row_number() OVER win AS release_seq,
+           CAST(n_protocols - lag(n_protocols) OVER win AS BIGINT)
+             AS delta_n_protocols,
+           CAST(n_words - lag(n_words) OVER win AS BIGINT) AS delta_n_words,
+           CAST(acc_milli - lag(acc_milli) OVER win AS BIGINT)
+             AS delta_acc_milli
+    FROM k WINDOW win AS (ORDER BY a, b, c)
+    """,
+)
+def version_trend(spark, sf_dir):
+    """Version-over-version dashboard
+    (/root/reference/src/stats-dashboard/generate-markdown.py:233-340,
+    /root/reference/src/accuracy_version_plot.py:11-58): per-release
+    corpus totals + integer-milli accuracy, semver-ordered (O4 sort)
+    with deltas vs the previous release. The production substrate is
+    plans/stats.snapshot_trend over the commit-snapshot log."""
+    df = spark.createDataFrame(
+        _REL_ROWS, "version string, n_protocols long, n_words long, acc_milli long"
+    )
+    return ST.version_trend(df)

@@ -12,7 +12,7 @@ shuffle regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def year_of_url(col: Column) -> Column:
@@ -44,3 +44,40 @@ def corpus_stats(segs: DataFrame) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+def version_trend(per_version: DataFrame, version_col: str = "version",
+                  value_cols: list[str] | None = None) -> DataFrame:
+    """Per-release trend table
+    (/root/reference/src/stats-dashboard/generate-markdown.py:233-340,
+    /root/reference/src/accuracy_version_plot.py:11-58): rows ordered by
+    SEMVER (split-cast major/minor/patch — the O4 sort, not
+    lexicographic), with a release_seq ordinal and the delta vs the
+    PREVIOUS release for every value column. The release table is tiny
+    (one row per published version), so the single-partition window is
+    the right plan."""
+    value_cols = value_cols or [
+        c for c in per_version.columns if c != version_col
+    ]
+    parts = F.split(F.regexp_replace(F.col(version_col), "^v", ""), "\\.")
+    w = Window.orderBy(
+        parts[0].cast("int"), parts[1].cast("int"), parts[2].cast("int")
+    )
+    out = per_version.withColumn("release_seq", F.row_number().over(w))
+    for c in value_cols:
+        out = out.withColumn(f"delta_{c}", F.col(c) - F.lag(c).over(w))
+    return out
+
+
+def snapshot_trend(spark, base: str) -> DataFrame:
+    """The commit-snapshot log as a trend series: each commit_seq is a
+    'release' of the output table; deltas of buckets/rows/kept between
+    consecutive snapshots (the version-over-version dashboard over the
+    engine's own snapshot substrate, sources/catalog.snapshots)."""
+    from scripts_spark.sources import catalog
+
+    snap = catalog.snapshots(spark, base)
+    w = Window.orderBy("commit_seq")
+    for c in ("n_buckets", "n_rows", "n_kept"):
+        snap = snap.withColumn(f"delta_{c}", F.col(c) - F.lag(c).over(w))
+    return snap

@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from scripts_spark.plans.pipeline import CurateConfig, curate
+from scripts_spark.plans.pipeline import (
+    CurateConfig,
+    boiler_line_evidence,
+    boiler_sets_from_counts,
+    curate,
+    deduped_docs,
+)
 from scripts_spark.sources import catalog
 from scripts_spark.sources.pages import PAGES_SCHEMA
 
@@ -36,7 +42,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   available_now: bool = True,
                   max_files_per_trigger: int | None = None,
                   dedup_urls_across_batches: bool = False,
-                  dedup_watermark: str = "30 days"):
+                  dedup_watermark: str = "30 days",
+                  boiler_state_dir: str | None = None):
     """File-source stream → batch curate per micro-batch → manifest
     commit. Returns the started StreamingQuery.
 
@@ -46,7 +53,18 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     url across micro-batches (state bounded by the warc_ts watermark —
     a recrawl of the same url more than ``dedup_watermark`` later is
     treated as a new document, which is the right call for a rolling
-    crawl). State survives restarts via the checkpoint."""
+    crawl). State survives restarts via the checkpoint.
+
+    ``boiler_state_dir`` upgrades boilerplate detection the same way:
+    each micro-batch appends its EXACT (domain, para) line counts to a
+    parquet state table (partitioned by batch_id with dynamic partition
+    overwrite, so a crash-replayed batch overwrites rather than
+    double-counts its own evidence), and the strip runs against the
+    boiler sets derived from the MERGED counts. A boilerplate line
+    whose evidence is split across micro-batches — each batch alone
+    below threshold — is therefore stripped from every batch processed
+    after the threshold is crossed (evidence grows monotonically;
+    already-committed earlier batches are not rewritten)."""
     cfg = cfg or CurateConfig()
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
     if dedup_urls_across_batches:
@@ -56,7 +74,10 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dec = curate(batch_df, cfg)
+        boiler = None
+        if boiler_state_dir is not None:
+            boiler = _merged_boiler(spark, batch_df, batch_id, boiler_state_dir, cfg)
+        dec = curate(batch_df, cfg, boiler_override=boiler)
         # the commit unit is (job_id=batch_id, bucket): a replayed
         # micro-batch resumes its own partial commit, while a NEW batch
         # whose documents hash into buckets an earlier batch already
@@ -71,6 +92,49 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _merged_boiler(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                   state_dir: str, cfg: CurateConfig) -> DataFrame:
+    """Append this batch's exact boilerplate evidence to the state
+    table, then return boiler sets derived from ALL batches' merged
+    counts. Idempotent under micro-batch replay: evidence is
+    partitioned by batch_id and written with dynamic partition
+    overwrite, so a replayed batch replaces its own partition."""
+    docs = deduped_docs(batch_df, cfg)
+    line_docs, dom_docs = boiler_line_evidence(docs, cfg)
+    wconf = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    old = {k: spark.conf.get(k, None) for k in wconf}
+    for k, v in wconf.items():
+        spark.conf.set(k, v)
+    try:
+        (
+            line_docs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{state_dir}/lines")
+        )
+        (
+            dom_docs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{state_dir}/domains")
+        )
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    merged_lines = (
+        spark.read.parquet(f"{state_dir}/lines")
+        .groupBy("domain", "para")
+        .agg(F.sum("line_docs").alias("line_docs"))
+    )
+    merged_doms = (
+        spark.read.parquet(f"{state_dir}/domains")
+        .groupBy("domain")
+        .agg(F.sum("domain_docs").alias("domain_docs"))
+    )
+    return boiler_sets_from_counts(merged_lines, merged_doms, cfg)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -125,6 +125,52 @@ def test_ann_ivf_recall_and_partition(spark, emb):
     assert again == {r["centroid_id"] for r in cents.collect()}
 
 
+def test_ivf_lloyd_refinement(spark, emb):
+    """One Lloyd pass must be deterministic, keep the assignment a
+    total partition, and not worsen the clustering objective
+    (mean cosine of each vector to its assigned centroid)."""
+    import math
+
+    def objective(cents):
+        assign = {r["vec_id"]: r["centroid_id"]
+                  for r in similarity.ivf_assign(emb, cents).collect()}
+        cvecs = {r["centroid_id"]: r["centroid_vec"] for r in cents.collect()}
+        vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        total = 0.0
+        for vid, cid in assign.items():
+            v, c = vecs[vid], cvecs[cid]
+            dot = sum(float(a) * float(b) for a, b in zip(v, c))
+            nv = math.sqrt(sum(float(a) ** 2 for a in v)) or 1.0
+            nc = math.sqrt(sum(float(b) ** 2 for b in c)) or 1.0
+            total += dot / (nv * nc)
+        return total / len(assign), assign
+
+    seed = similarity.ivf_centroids(emb, 8)
+    lloyd = similarity.ivf_centroids_lloyd(emb, 8, iters=1)
+    obj0, _ = objective(seed)
+    obj1, assign1 = objective(lloyd)
+    assert obj1 >= obj0 - 1e-9, (obj0, obj1)
+    assert len(assign1) == emb.count()  # still a total partition
+    # deterministic: rerun bit-identical
+    again = {
+        (r["centroid_id"], tuple(r["centroid_vec"]))
+        for r in similarity.ivf_centroids_lloyd(emb, 8, iters=1).collect()
+    }
+    assert again == {
+        (r["centroid_id"], tuple(r["centroid_vec"])) for r in lloyd.collect()
+    }
+    # the refined index still answers queries with decent recall
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf(
+            emb, qv, k=10, n_lists=8, n_probe=4, centroids=lloyd
+        ).collect()
+    }
+    assert 0 in approx and len(exact & approx) >= 5, (exact, approx)
+
+
 def test_pairwise_topk_scale_shape(spark, emb):
     # planes auto-derived from corpus size: bounded bucket occupancy
     assert similarity.planes_for(10) == 4

@@ -13,7 +13,7 @@ from scripts_spark.functions import model_scoring as MS
 from scripts_spark.operators import multimodal as MM
 from scripts_spark.plans.pipeline import CurateConfig, curate
 from scripts_spark.sources import catalog
-from scripts_spark.sources.pages import pages_df
+from scripts_spark.sources.pages import PAGES_SCHEMA, pages_df
 from scripts_spark.streaming import jobs as SJ
 
 
@@ -278,3 +278,62 @@ def test_windowed_event_counts_stream(spark, tmpdirs):
     g = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value_cents"]) for r in got.collect()}
     w = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value_cents"]) for r in batch.collect()}
     assert g == w
+
+
+def test_stream_curate_cross_batch_boilerplate(spark, tmpdirs):
+    """A nav line appearing in 2 docs per micro-batch (threshold: > 2
+    docs) is invisible to per-batch boilerplate detection but must be
+    stripped once the MERGED evidence crosses the threshold — the
+    exact_boilerplate state table makes batch 2 see batch 1's counts."""
+    import datetime
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, boiler_min_docs=2)
+    nav = "hem nyheter kontakt arkiv om oss"
+
+    def batch(i):
+        rows = []
+        for j in (0, 1):
+            body = f"unik brödtext nummer {i}-{j} om riksdagens ärenden och voteringar"
+            rows.append(
+                (
+                    f"https://boil.example.com/p{i}{j}",
+                    datetime.datetime(2020, 1, 1 + i),
+                    None,
+                    nav + "\n" + body,
+                    "sv",
+                )
+            )
+        return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    state_dir = state + "/boiler"
+    batch(1).coalesce(1).write.mode("append").parquet(in_dir)
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg, boiler_state_dir=state_dir)
+    q.awaitTermination(120)
+    batch(2).coalesce(1).write.mode("append").parquet(in_dir)
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg, boiler_state_dir=state_dir)
+    q.awaitTermination(120)
+
+    out = {r["url"]: r["scrubbed_text"] for r in catalog.read_output(spark, out_dir).collect()}
+    assert len(out) == 4
+    # batch 1 committed before the evidence existed: line still there
+    assert all("hem nyheter kontakt" in out[f"https://boil.example.com/p1{j}"] for j in (0, 1))
+    # batch 2 sees merged counts (4 docs > 2): line stripped
+    assert all(
+        "hem nyheter kontakt" not in out[f"https://boil.example.com/p2{j}"] for j in (0, 1)
+    ), {k: v for k, v in out.items() if "p2" in k}
+
+    # control: per-batch mode (no state dir) never strips it
+    import tempfile as _tf
+
+    out2, ckpt2 = _tf.mkdtemp(), _tf.mkdtemp()
+    try:
+        # maxFilesPerTrigger=1 keeps the two drops in separate batches
+        # (the point: per-batch evidence alone never crosses threshold)
+        q = SJ.stream_curate(spark, in_dir, out2, ckpt2, cfg, max_files_per_trigger=1)
+        q.awaitTermination(120)
+        ctrl = {r["url"]: r["scrubbed_text"] for r in catalog.read_output(spark, out2).collect()}
+        assert all("hem nyheter kontakt" in t for t in ctrl.values())
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)

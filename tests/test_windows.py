@@ -288,3 +288,22 @@ def test_corpus_stats(spark, segs, seg_rows):
         assert (g["n_protocols"], g["n_pages"], g["n_speeches"], g["n_words"]) == (
             len(urls), pages, speeches, words
         ), y
+
+
+def test_snapshot_trend_over_commits(spark, tmp_path):
+    """The snapshots log as a release trend: two commits → two snapshot
+    rows with exact deltas (version-over-version dashboard substrate)."""
+    from scripts_spark.plans.pipeline import CurateConfig, curate
+    from scripts_spark.plans.stats import snapshot_trend
+    from scripts_spark.sources import catalog
+    from scripts_spark.sources.pages import pages_df
+
+    base = str(tmp_path / "out")
+    cfg = CurateConfig(num_buckets=4)
+    catalog.commit_buckets(curate(pages_df(spark, 60, partitions=2, start=0), cfg), base, job_id=0)
+    catalog.commit_buckets(curate(pages_df(spark, 40, partitions=2, start=60), cfg), base, job_id=1)
+    trend = snapshot_trend(spark, base).collect()
+    assert [r["commit_seq"] for r in trend] == [0, 1]
+    assert trend[0]["delta_n_rows"] is None
+    assert trend[1]["delta_n_rows"] == trend[1]["n_rows"] - trend[0]["n_rows"]
+    assert trend[0]["n_rows"] + trend[1]["n_rows"] == catalog.read_output(spark, base).count()
