@@ -25,6 +25,7 @@ def run(cpus: int) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_REPLICATE=REPLICATE,
         BENCH_ONLY="curate",
+        BENCH_ENDURANCE="0",  # scaling compares the flagship run only
     )
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True

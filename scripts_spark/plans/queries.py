@@ -2181,3 +2181,48 @@ def version_trend(spark, sf_dir):
         _REL_ROWS, "version string, n_protocols long, n_words long, acc_milli long"
     )
     return ST.version_trend(df)
+
+
+# --- W11: date-interval jaccard as an oracle'd query -------------------
+_IVJ_ROWS = [
+    ("x1", "2020-01-01", "2020-01-10", "2020-01-01", "2020-01-10"),
+    ("x2", "2020-01-01", "2020-01-10", "2020-01-05", "2020-01-20"),
+    ("x3", "2020-01-01", "2020-01-10", "2020-02-01", "2020-02-05"),
+    ("x4", "2020-01-01", "2020-01-31", "2020-01-10", "2020-01-15"),
+    ("x5", "2020-03-01", "2020-03-01", "2020-03-01", "2020-03-01"),
+]
+
+
+@q(
+    "date_interval_jaccard",
+    f"""
+    WITH v(id, s1, e1, s2, e2) AS (VALUES {_sql_vals(_IVJ_ROWS)}),
+    c AS (
+      SELECT id, CAST(s1 AS DATE) AS a, CAST(e1 AS DATE) AS b,
+             CAST(s2 AS DATE) AS c2, CAST(e2 AS DATE) AS d
+      FROM v),
+    j AS (
+      SELECT id, a, b, c2, d,
+             date_diff('day', greatest(a, c2), least(b, d)) + 1 AS inter,
+             date_diff('day', least(a, c2), greatest(b, d)) + 1 AS uni
+      FROM c)
+    SELECT id,
+           CASE WHEN inter > 0 THEN CAST(inter AS DOUBLE) / uni
+                ELSE 0.0 END AS jaccard,
+           (a = c2 AND b = d) AS perfect,
+           (inter > 0) AS overlaps,
+           (a <= c2 AND d <= b) AS contains
+    FROM j
+    """,
+)
+def date_interval_jaccard(spark, sf_dir):
+    """W11 interval jaccard + perfect/overlap/contains flags
+    (/root/reference/src/date_accuracy_estimate.py:36-50): inclusive
+    day-interval Jaccard — the only doubles are divisions of exact
+    day counts, so values hash identically across engines."""
+    df = spark.createDataFrame(
+        _IVJ_ROWS, "id string, s1 string, e1 string, s2 string, e2 string"
+    )
+    return W.interval_jaccard(df, "s1", "e1", "s2", "e2").select(
+        "id", "jaccard", "perfect", "overlaps", "contains"
+    )
