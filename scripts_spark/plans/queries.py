@@ -2226,3 +2226,169 @@ def date_interval_jaccard(spark, sf_dir):
     return W.interval_jaccard(df, "s1", "e1", "s2", "e2").select(
         "id", "jaccard", "perfect", "overlaps", "contains"
     )
+
+
+# --- A8: id-uniqueness audit (violations-as-rows) ----------------------
+from scripts_spark.plans import quality_checks as QC  # noqa: E402
+
+
+@q(
+    "duplicate_id_audit",
+    """
+    WITH u AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM u GROUP BY doc_id HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_id_audit(spark, sf_dir):
+    """A8 uniqueness assertion as a violations query
+    (/root/reference/src/ck-duplicate-uuids.py:13-27): empty result =
+    pass. Three duplicates are planted (the 3 smallest doc_ids union'd
+    back) so the audit's detection path is value-checked, not just its
+    empty case."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    planted = d.orderBy("doc_id").limit(3)
+    return QC.duplicate_ids(d.unionByName(planted), "doc_id")
+
+
+# --- W9/W10: first docDate + date range per protocol -------------------
+_DATE_ROWS = [
+    ("d1", 0, "docDate", "1971-03-04"),
+    ("d1", 3, "docDate", "1971-03-06"),
+    ("d1", 5, "seg", None),
+    ("d2", 1, "docDate", "1999-12-31"),
+    ("d2", 2, "docDate", "1999-11-01"),
+    ("d3", 0, "seg", None),
+]
+
+
+@q(
+    "date_range_per_doc",
+    f"""
+    WITH e(url, pos, elem_type, when_attr) AS (VALUES {_sql_vals(_DATE_ROWS)}),
+    d AS (SELECT * FROM e WHERE elem_type = 'docDate')
+    SELECT url, min_by(when_attr, pos) AS first_date,
+           MIN(when_attr) AS date_min, MAX(when_attr) AS date_max
+    FROM d GROUP BY url
+    """,
+)
+def date_range_per_doc(spark, sf_dir):
+    """W9 first docDate (document order, not value order — d2's first
+    date is the LATER 1999-12-31) + W10 min/max range per protocol
+    (/root/reference/src/first_date.py:14-18,
+    date_accuracy_estimate.py:25-34)."""
+    segs = spark.createDataFrame(
+        _DATE_ROWS, "url string, pos long, elem_type string, when_attr string"
+    )
+    return W.first_date(segs).join(W.date_range(segs), "url")
+
+
+# --- R4+R3: seeded shuffle + deterministic head slice -------------------
+@q(
+    "seeded_shuffle_head",
+    """
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7'), doc_id
+    LIMIT 20
+    """,
+)
+def seeded_shuffle_head(spark, sf_dir):
+    """R4 seeded shuffle (global sort by seeded hash,
+    fuzzy_matching.py:71-73) + R3 head slice, with the portable md5
+    hash family so both engines shuffle identically. orderBy().limit()
+    compiles to TakeOrderedAndProject — per-partition top-K, no global
+    sort (the production form, sampling.deterministic_shuffle, uses
+    xxhash64 with the same shape)."""
+    d = T(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|7")))
+    return d.select("doc_id").orderBy(key, "doc_id").limit(20)
+
+
+# --- J3: the FULL fuzzy cascade with priority arbitration ---------------
+_FM_FACTS = [(1, "Anders"), (2, "anders"), (3, "Bergstrom"), (4, "zzz")]
+_FM_DIM = [("anders",), ("bergstrom",), ("larsson",)]
+
+
+@q(
+    "fuzzy_cascade",
+    f"""
+    WITH f(fact_id, name) AS (VALUES {_sql_vals(_FM_FACTS)}),
+    d(target) AS (VALUES {_sql_vals(_FM_DIM)}),
+    m AS (
+      SELECT f.fact_id, f.name, d.target, 'exact' AS match_stage, 0 AS prio
+      FROM f JOIN d ON f.name = d.target
+      UNION ALL
+      SELECT f.fact_id, f.name, d.target, 'lower', 1
+      FROM f JOIN d ON lower(f.name) = lower(d.target)
+      UNION ALL
+      SELECT f.fact_id, f.name, d.target, 'lev1', 2
+      FROM f JOIN d ON levenshtein(lower(f.name), lower(d.target)) <= 1),
+    best AS (
+      SELECT fact_id, name, target, match_stage,
+             row_number() OVER (PARTITION BY fact_id
+                                ORDER BY prio, target) AS rn
+      FROM m)
+    SELECT CAST(fact_id AS BIGINT) AS fact_id, name, target, match_stage
+    FROM best WHERE rn = 1
+    UNION ALL
+    SELECT CAST(fact_id AS BIGINT), name, NULL, NULL
+    FROM f WHERE fact_id NOT IN (SELECT fact_id FROM m)
+    """,
+)
+def fuzzy_cascade(spark, sf_dir):
+    """J3: the reference's 7-matcher short-circuit loop
+    (fuzzy_matching.py:75-103) as set-at-a-time staged joins with
+    priority arbitration (joins.fuzzy_match_cascade): exact → lowercase
+    → levenshtein≤1; first-hit-wins per fact, unmatched facts survive
+    with null stage. Every stage is a broadcast join over the full fact
+    table — no per-row Python at any scale."""
+    facts = spark.createDataFrame(_FM_FACTS, "fact_id long, name string")
+    dim = spark.createDataFrame(_FM_DIM, "target string")
+    stages = [
+        ("exact", F.col("name") == F.col("target")),
+        ("lower", F.lower(F.col("name")) == F.lower(F.col("target"))),
+        ("lev1", F.levenshtein(F.lower(F.col("name")), F.lower(F.col("target"))) <= 1),
+    ]
+    out = J.fuzzy_match_cascade(facts, dim, "fact_id", stages)
+    return out.select("fact_id", "name", "target", "match_stage")
+
+
+# --- W7: one-step speaker latch (tag element after intro) ---------------
+_LATCH_ROWS = [
+    ("L1", 0, "note", "speaker", "Herr TALMANNEN:"),
+    ("L1", 1, "u", None, "taggas som after_intro"),
+    ("L1", 2, "u", None, "inte längre"),
+    ("L1", 3, "note", "speaker", "Fru A:"),
+    ("L1", 4, "seg", None, "direkt efter intro"),
+    ("L2", 0, "u", None, "första raden är aldrig after_intro"),
+]
+
+
+@q(
+    "tag_after_intro",
+    f"""
+    WITH e(url, pos, elem_type, type_attr, text) AS (
+      VALUES {_sql_vals(_LATCH_ROWS)})
+    SELECT url, CAST(pos AS BIGINT) AS pos, elem_type,
+           coalesce(
+             lag(elem_type = 'note' AND type_attr = 'speaker')
+               OVER (PARTITION BY url ORDER BY pos),
+             FALSE) AS after_intro
+    FROM e
+    """,
+)
+def tag_after_intro(spark, sf_dir):
+    """W7: the reference's one-step 'speaker' latch
+    (classify_join_intros.py:44-52 — a flag set on the intro row and
+    consumed by the very next element) as a single lag window."""
+    segs = spark.createDataFrame(
+        _LATCH_ROWS,
+        "url string, pos long, elem_type string, type_attr string, text string",
+    )
+    is_intro = (F.col("elem_type") == "note") & (F.col("type_attr") == "speaker")
+    return W.tag_after_intro(segs, is_intro).select(
+        "url", "pos", "elem_type", "after_intro"
+    )
