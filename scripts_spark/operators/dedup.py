@@ -205,3 +205,52 @@ def simhash_near_pairs(fp: DataFrame, key: str, max_hamming: int = 3,
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(pairs: DataFrame, key_a: str = "key_a",
+                         key_b: str = "key_b", max_iter: int = 25) -> DataFrame:
+    """Near-dup GROUPS from pair output: connected components by
+    min-label propagation. Each node starts labeled with itself; every
+    iteration each node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (stars/chains of a few hops), so a handful of
+    iterations suffices at any corpus size.
+
+    Scale notes: per round this is one equi-join + one partial-agg'd
+    groupBy min (both shuffle on the node key and reuse the same
+    partitioning); localCheckpoint truncates the iterative lineage so
+    the plan does not grow with rounds; convergence is detected with an
+    exact count of changed labels. For pathological diameters the
+    large-star/small-star CC algorithm halves rounds, but near-dup
+    graphs never get there. Returns (node, group) with group = min key
+    in the component; only keys that appear in ``pairs`` are returned."""
+    edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("group", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "group")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("group").alias("group"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.group") != F.col("o.group"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -2392,3 +2392,35 @@ def tag_after_intro(spark, sf_dir):
     return W.tag_after_intro(segs, is_intro).select(
         "url", "pos", "elem_type", "after_intro"
     )
+
+
+_MINHASH_PAIRS_SQL = ORACLES["minhash_lsh_pairs"]
+
+
+# --- dedup GROUPS: connected components over near-dup pairs ------------
+@q(
+    "dedup_groups",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    e(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.b, reach.label FROM e JOIN reach ON e.a = reach.node)
+    SELECT node AS doc_id, MIN(label) AS group_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS (not just pairs): connected components over the
+    MinHash-LSH pair output by min-label propagation
+    (operators/dedup.connected_components) — the step that turns pair
+    detection into per-document canonical group ids for survivor
+    selection. The DuckDB oracle computes the same components with a
+    recursive transitive-closure CTE."""
+    pairs = REGISTRY["minhash_lsh_pairs"](spark, sf_dir)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("group").alias("group_id"))

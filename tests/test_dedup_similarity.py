@@ -253,3 +253,16 @@ def test_stratified_and_weighted_sampling(spark, docs):
     assert all(r["count"] <= 3 for r in ws.groupBy("stratum").count().collect())
     ws2 = sampling.weighted_stratum_sample(d, "stratum", "w", "doc_id", 3)
     assert {r["doc_id"] for r in ws.collect()} == {r["doc_id"] for r in ws2.collect()}
+
+
+def test_connected_components_groups(spark):
+    # two components: a chain 1-2-3-4 (diameter 3 — needs propagation,
+    # not just one hop) and a pair 10-11; singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "key_a long, key_b long"
+    )
+    got = {r["node"]: r["group"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # determinism
+    again = {r["node"]: r["group"] for r in dedup.connected_components(pairs).collect()}
+    assert again == got
