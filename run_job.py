@@ -76,6 +76,23 @@ def main(argv: list[str] | None = None) -> int:
     sn = sub.add_parser("snapshots")
     sn.add_argument("--decisions", required=True)
 
+    tr = sub.add_parser(
+        "trend",
+        help="version-over-version dashboard: the snapshot log with "
+        "deltas between consecutive commits (stats.snapshot_trend)",
+    )
+    tr.add_argument("--decisions", required=True)
+
+    dg = sub.add_parser(
+        "dedup-groups",
+        help="near-dup group ids over a committed decisions output: "
+        "MinHash-LSH pairs (Jaccard-verified) closed into connected "
+        "components; writes (doc_id, group_id) parquet",
+    )
+    dg.add_argument("--decisions", required=True)
+    dg.add_argument("--output", required=True)
+    dg.add_argument("--threshold", type=float, default=0.8)
+
     s = sub.add_parser(
         "qc-score",
         help="close the QC loop: join annotated gold labels (parquet "
@@ -127,6 +144,25 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "snapshots":
         for r in catalog.snapshots(spark, a.decisions).collect():
             print(json.dumps(r.asDict()))
+    elif a.cmd == "trend":
+        from scripts_spark.plans.stats import snapshot_trend
+
+        for r in snapshot_trend(spark, a.decisions).collect():
+            print(json.dumps(r.asDict()))
+    elif a.cmd == "dedup-groups":
+        from scripts_spark.operators import dedup
+
+        dec = catalog.read_output(spark, a.decisions)
+        pairs = dedup.minhash_dedup(
+            dec.select("doc_id", "scrubbed_text"), "doc_id",
+            text_col="scrubbed_text", threshold=a.threshold,
+        )
+        groups = dedup.connected_components(pairs).select(
+            F.col("node").alias("doc_id"), F.col("group").alias("group_id")
+        )
+        groups.write.mode("overwrite").parquet(a.output)
+        n = spark.read.parquet(a.output).count()
+        print(json.dumps({"grouped_docs": n, "path": a.output}))
     elif a.cmd == "qc-score":
         dec = catalog.read_output(spark, a.decisions)
         gold = spark.read.parquet(a.gold)

@@ -160,6 +160,22 @@ def test_kwic_window_excludes_text(spark):
     assert all("text" not in l and "bs" not in l for l in win_inputs), win_inputs
 
 
+def test_simhash_pairs_no_cartesian(spark):
+    """The SimHash pair query must join blocks on (blk, blk_key) —
+    never enumerate the cross product of fingerprints."""
+    plan = _plan(Q.REGISTRY["simhash_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_cascade_broadcasts_dim(spark):
+    """Every cascade stage joins the fact table against a BROADCAST
+    dimension — no shuffle of the fact side per stage."""
+    plan = _plan(Q.REGISTRY["fuzzy_cascade"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interval_join_is_broadcast_nlj(spark):
     plan = _plan(Q.REGISTRY["interval_tier_join"](spark, SF))
     # non-equi join against broadcast dim → BroadcastNestedLoopJoin,

@@ -152,6 +152,20 @@ def test_cli_end_to_end():
         assert sum(c["n"] for c in scored["confusion"]) == n_sample
         for s in scored["strata"]:
             assert s["ci_low"] <= s["accuracy"] <= s["ci_high"]
+
+        # trend: single commit → one snapshot row with null deltas
+        out = run("trend", "--decisions", f"{work}/dec")
+        t = json.loads(out)
+        assert t["commit_seq"] == 0 and t["delta_n_rows"] is None
+
+        # dedup-groups: synthetic pages contain template-near-dup texts;
+        # the output is (doc_id, group_id) with group ⊆ paired docs
+        out = run(
+            "dedup-groups", "--decisions", f"{work}/dec",
+            "--output", f"{work}/groups", "--threshold", "0.5",
+        )
+        g = json.loads(out)
+        assert g["grouped_docs"] >= 0 and "path" in g
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
