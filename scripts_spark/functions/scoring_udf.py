@@ -70,12 +70,31 @@ def _score_texts(texts, stop_scores, bigram, token_memo):
     return out_lang, out_ppx, out_nb
 
 
+# One broadcast per SparkContext, not per curate() call: the model
+# tables are frozen, so rebuilding + re-broadcasting them for every
+# bench trial / streaming micro-batch is pure fixed cost (it shows up
+# directly as lost scaling efficiency — serial seconds that don't
+# shrink with cores). Keyed by context id so a restarted session gets
+# a fresh broadcast.
+_BC_CACHE: dict[int, object] = {}
+
+
+def _model_broadcast(spark: SparkSession):
+    key = id(spark.sparkContext)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        _BC_CACHE.clear()  # at most one live context in this process
+        bc = spark.sparkContext.broadcast(
+            (dict(langmodel.STOP_SCORES), dict(langmodel.bigram_cost_table()))
+        )
+        _BC_CACHE[key] = bc
+    return bc
+
+
 def scores_udf(spark: SparkSession) -> "function":
     """Build the scoring pandas UDF with the model tables attached as
     a Spark broadcast (one copy per executor, not per task)."""
-    bc = spark.sparkContext.broadcast(
-        (dict(langmodel.STOP_SCORES), dict(langmodel.bigram_cost_table()))
-    )
+    bc = _model_broadcast(spark)
 
     def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         stop_scores, bigram = bc.value
