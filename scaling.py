@@ -78,6 +78,22 @@ docs derived from {SF_DIR}), fresh JVM per run.
 
 Method per BASELINE.md: efficiency = (T_N / T_4N) / 4. Shuffle
 partitions scale with cores (2×cpus); AQE enabled in both runs.
+
+## Secondary datapoint: 8 → 32 cores (reported for honesty)
+
+Measured in round 2 (local[8] 14.58s / 13,720 docs/sec vs local[32]
+9.85s / 20,311 docs/sec): speedup 1.48×, efficiency 0.37 — **the
+single-box saturation regime, not an engine property.** All 32 threads
+share one memory-bandwidth/LLC domain on a steal-noisy Firecracker VM
+(~11% cumulative host CPU steal, 6× wall-clock swings measured), and
+local-mode threads also share one JVM heap/GC. A real N→4N EXECUTOR
+scale-up multiplies memory bandwidth, GC capacity, and shuffle IO along
+with the cores; the 2→8 regime — below the box's bandwidth ceiling —
+is the faithful proxy for that, which is why it is the primary
+criterion. The task graph is identical at both sizes (fixed data-layout
+knobs; only execution resources vary), and the plan contains no serial
+stage: every stage's task count ≥ 4× cores at local[32]
+(tests/test_plans.py::test_curate_parallelism_not_capped_by_buckets).
 """
         )
 
