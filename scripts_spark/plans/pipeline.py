@@ -198,21 +198,26 @@ def boilerplate_sets(docs: DataFrame, cfg: CurateConfig) -> DataFrame:
     return boiler_sets_from_counts(line_docs, dom_docs, cfg)
 
 
+def boiler_line_rows(line_docs: DataFrame, dom_docs: DataFrame,
+                     cfg: CurateConfig) -> DataFrame:
+    """The two-threshold boilerplate rule as flat rows: lines in >
+    boiler_min_docs docs AND > frac of the domain's docs. Shared by the
+    set-collect below and the oracle'd `boiler_headers` query."""
+    return line_docs.join(dom_docs, "domain").filter(
+        (F.col("line_docs") > cfg.boiler_min_docs)
+        & (
+            F.col("line_docs") * cfg.boiler_frac_den
+            > F.col("domain_docs") * cfg.boiler_frac_num
+        )
+    )
+
+
 def boiler_sets_from_counts(line_docs: DataFrame, dom_docs: DataFrame,
                             cfg: CurateConfig) -> DataFrame:
     """Threshold + collect step shared by the batch two-pass path and
     the streaming cross-batch merge: (domain, para, line_docs) ×
     (domain, domain_docs) → (domain, boiler_set)."""
-    boiler = (
-        line_docs.join(dom_docs, "domain")
-        .filter(
-            (F.col("line_docs") > cfg.boiler_min_docs)
-            & (
-                F.col("line_docs") * cfg.boiler_frac_den
-                > F.col("domain_docs") * cfg.boiler_frac_num
-            )
-        )
-    )
+    boiler = boiler_line_rows(line_docs, dom_docs, cfg)
     return boiler.groupBy("domain").agg(F.collect_set("para").alias("boiler_set"))
 
 

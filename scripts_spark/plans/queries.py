@@ -2424,3 +2424,51 @@ def dedup_groups(spark, sf_dir):
     pairs = REGISTRY["minhash_lsh_pairs"](spark, sf_dir)
     cc = D.connected_components(pairs, "doc_a", "doc_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("group").alias("group_id"))
+
+
+# --- the boilerplate two-threshold rule over a real table --------------
+@q(
+    "boiler_headers",
+    """
+    WITH docs AS (
+      SELECT source AS domain, string_split(text, ' ')[1] AS para
+      FROM documents WHERE text IS NOT NULL AND text <> ''),
+    line_docs AS (
+      SELECT domain, para, CAST(COUNT(*) AS BIGINT) AS line_docs
+      FROM docs GROUP BY domain, para),
+    dom_docs AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS domain_docs
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+      GROUP BY source)
+    SELECT l.domain, l.para, l.line_docs, d.domain_docs
+    FROM line_docs l JOIN dom_docs d ON l.domain = d.domain
+    WHERE l.line_docs > 2 AND l.line_docs * 10 > d.domain_docs * 1
+    """,
+)
+def boiler_headers(spark, sf_dir):
+    """The pipeline's domain-boilerplate rule (plans/pipeline.
+    boiler_line_rows — lines in > min_docs docs AND > 1/10 of the
+    domain's docs; ref post-pipeline boilerplate pass) value-checked
+    over a real table: 'lines' here are each document's leading token
+    (the header shape), domains are the documents' sources. The
+    production path adds the hash-then-confirm two-pass so the big
+    shuffle carries 8-byte hashes; thresholds and join are identical."""
+    from scripts_spark.plans.pipeline import CurateConfig, boiler_line_rows
+
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    docs = d.select(
+        F.col("source").alias("domain"),
+        F.split(F.col("text"), " ")[0].alias("para"),
+    )
+    line_docs = docs.groupBy("domain", "para").agg(
+        F.count(F.lit(1)).alias("line_docs")
+    )
+    dom_docs = d.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).alias("domain_docs")
+    )
+    cfg = CurateConfig(boiler_min_docs=2, boiler_frac_num=1, boiler_frac_den=10)
+    return boiler_line_rows(line_docs, dom_docs, cfg).select(
+        "domain", "para", "line_docs", "domain_docs"
+    )
