@@ -337,3 +337,39 @@ def test_stream_curate_cross_batch_boilerplate(spark, tmpdirs):
     finally:
         shutil.rmtree(out2, ignore_errors=True)
         shutil.rmtree(ckpt2, ignore_errors=True)
+
+
+def test_boiler_state_replay_idempotent(spark, tmpdirs):
+    """A crash-replayed micro-batch must OVERWRITE its own evidence
+    partition, not append next to it — merged counts are identical
+    after writing the same batch twice."""
+    import datetime
+
+    _, _, _, state = tmpdirs
+    state_dir = state + "/reboil"
+    rows = [
+        (f"https://rep.example.com/p{j}", datetime.datetime(2020, 1, 1), None,
+         "samma rad\nunik " + str(j), "sv")
+        for j in range(3)
+    ]
+    batch = spark.createDataFrame(rows, PAGES_SCHEMA)
+    cfg = CurateConfig(num_buckets=2, boiler_min_docs=1)
+    from scripts_spark.streaming.jobs import _merged_boiler
+
+    _merged_boiler(spark, batch, 7, state_dir, cfg)
+    first = {
+        (r["domain"], r["para"]): r["line_docs"]
+        for r in spark.read.parquet(f"{state_dir}/lines")
+        .groupBy("domain", "para").agg(F.sum("line_docs").alias("line_docs"))
+        .collect()
+    }
+    # replay the SAME batch_id (crash-retry): counts must not double
+    _merged_boiler(spark, batch, 7, state_dir, cfg)
+    again = {
+        (r["domain"], r["para"]): r["line_docs"]
+        for r in spark.read.parquet(f"{state_dir}/lines")
+        .groupBy("domain", "para").agg(F.sum("line_docs").alias("line_docs"))
+        .collect()
+    }
+    assert again == first
+    assert first[("rep.example.com", "samma rad")] == 3
