@@ -141,3 +141,46 @@ def test_allcaps_unicode_boundary(spark):
     got = [r["s"] for r in df.select(tk.allcaps_surname(F.col("t")).alias("s")).collect()]
     assert got == [ora.allcaps_surname(c) for c in cases]
     assert got[0] == "ÅKESSON"
+
+
+@st.composite
+def malformed_iort(draw):
+    """Rows WITHOUT the ' i '/' I ' separator — the gate added in
+    round 3 must yield [] in both engines, never a ('whole','') pair."""
+    words = " ".join(draw(st.lists(WORDS, min_size=1, max_size=3)))
+    tail = draw(st.sampled_from(["", " senare Boden", ", senare X o Y"]))
+    hypothesis.assume(" i " not in words and " I " not in words)
+    return words + tail
+
+
+def test_fuzz_iort_malformed_rows(spark):
+    samples = _collect(malformed_iort())
+    assert len(samples) > 40
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [
+        [(p["surname"], p["iort"]) for p in (r["p"] or [])]
+        for r in df.select(tk.iort_pairs(F.col("s")).alias("p")).collect()
+    ]
+    for s, g in zip(samples, got):
+        want = ora.iort_pairs(s)
+        assert g == want, repr(s)
+        if " i " not in (s if " i " in s else s.replace(" I ", " i ")):
+            assert g == [], repr(s)
+
+
+def test_fuzz_correct_allcaps_replacement(spark):
+    """Dictionary corrections containing regex-replacement metachars
+    ('$', '\\', group refs) insert LITERALLY and identically in both
+    engines (round-3 replacement quoting)."""
+    meta = st.text(
+        alphabet="ABCÅÄÖ$\\g1{}<>", min_size=1, max_size=8
+    )
+    cases = [(f"Herr {w}-SON i X:", c) for w, c in
+             zip(["ANDERS", "PETTERS", "NILS"] * 20, _collect(meta, n_lists=20))][:50]
+    df = spark.createDataFrame(cases, "s string, c string")
+    got = [
+        r["o"]
+        for r in df.select(tk.correct_allcaps(F.col("s"), F.col("c")).alias("o")).collect()
+    ]
+    for (s, c), g in zip(cases, got):
+        assert g == ora.correct_allcaps(s, c), (s, c)
