@@ -1,5 +1,6 @@
 """Deduplication operators for the training-data pipeline: exact,
-MinHash+LSH, SimHash, and n-gram Jaccard verification.
+MinHash+LSH, SimHash, n-gram Jaccard verification, and
+connected-components grouping of the detected pairs.
 
 Scale design: every method is explode→agg→self-join-on-small-key; no
 driver-side collection, no O(n²) pair enumeration outside LSH buckets.
