@@ -2472,3 +2472,52 @@ def boiler_headers(spark, sf_dir):
     return boiler_line_rows(line_docs, dom_docs, cfg).select(
         "domain", "para", "line_docs", "domain_docs"
     )
+
+
+# --- stopword-ratio quality rule (Gopher-style; task brief) -------------
+_STOPWORDS = ["the", "a", "of", "and", "in", "to"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@q(
+    "stopword_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_STOP_SQL}))) AS stop_hits
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CASE WHEN n_words > 0
+                THEN CAST(stop_hits AS DOUBLE) / n_words
+                ELSE 0.0 END AS stop_ratio,
+           (n_words >= 20 AND stop_hits * 100 >= n_words * 2) AS keep
+    FROM t
+    """,
+)
+def stopword_quality(spark, sf_dir):
+    """Stopword-presence quality rule (task brief 'stopword ratios';
+    the Gopher-rules shape): documents whose token stream contains too
+    few function words are boilerplate/listings, not prose. Pure
+    column math — the ratio is a division of exact counts and the keep
+    test is an integer cross-multiplication, so no float thresholds."""
+    d = T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = _tokens(F.col("text"))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    n_words = F.size(toks)
+    out = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    ratio = F.when(
+        F.col("n_words") > 0,
+        F.col("stop_hits").cast("double") / F.col("n_words"),
+    ).otherwise(F.lit(0.0))
+    keep = (F.col("n_words") >= 20) & (
+        F.col("stop_hits") * 100 >= F.col("n_words") * 2
+    )
+    return out.select("doc_id", "n_words", "stop_hits", ratio.alias("stop_ratio"), keep.alias("keep"))
