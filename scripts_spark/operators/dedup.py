@@ -42,7 +42,17 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
     the shingle set, each via xxhash64(shingle, seed_i). One explode +
     one partial-agg'd groupBy — cost O(distinct shingles per doc):
     MinHash is set-semantics, so the per-doc array_distinct changes
-    nothing in the result and sheds hash work on repetitive text."""
+    nothing in the result and sheds hash work on repetitive text.
+
+    Measured note (round 3): an all-array-side "zero-shuffle"
+    formulation (array_min over per-shingle hashes of token-hash
+    windows) was built and REJECTED — 27.8s vs 8.9s at sf0.1, because
+    CollapseProject re-inlines the token-hash array into all 16
+    signature columns (16x recompute) and higher-order lambdas run
+    interpreted. The explode + partial-agg'd min stays in whole-stage
+    codegen and ships only 16 longs per doc per input partition — same
+    conclusion as the ngram_jaccard ReusedExchange analysis in
+    BENCH.md."""
     sh = df.select(
         F.col(key),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("shingle"),
@@ -89,7 +99,18 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, key: str,
                    text_col: str = "text", shingle_k: int = 3,
                    threshold: float = 0.8) -> DataFrame:
     """Verify candidate pairs by true shingle-set Jaccard (the
-    verification stage after LSH). Returns pairs with jaccard ≥ threshold."""
+    verification stage after LSH). Returns pairs with jaccard ≥ threshold.
+
+    Scale note (round-3): shingles are materialized ONLY for documents
+    that appear in a candidate pair (left-semi prune before the
+    explode) — the verify stage's cost tracks the candidate set, not
+    the corpus."""
+    cand_keys = (
+        pairs.select(F.col("key_a").alias(key))
+        .unionByName(pairs.select(F.col("key_b").alias(key)))
+        .distinct()
+    )
+    df = df.join(cand_keys, key, "left_semi")
     sh = df.select(
         F.col(key).alias("k"),
         F.explode_outer(

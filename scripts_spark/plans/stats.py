@@ -55,7 +55,12 @@ def version_trend(per_version: DataFrame, version_col: str = "version",
     lexicographic), with a release_seq ordinal and the delta vs the
     PREVIOUS release for every value column. The release table is tiny
     (one row per published version), so the single-partition window is
-    the right plan."""
+    the right plan.
+
+    Constraint: versions must be three-part semver (vX.Y.Z) — a
+    two-part version yields a null patch ordinal, and null ordering
+    differs between engines (Spark nulls-first vs DuckDB nulls-last),
+    so mixed-arity version lists would not be portable."""
     value_cols = value_cols or [
         c for c in per_version.columns if c != version_col
     ]
