@@ -76,8 +76,10 @@ docs derived from {SF_DIR}), fresh JVM per run.
 - scaling efficiency: **{result['scaling_efficiency']}** (target ≥ 0.8)
 - pass: **{result['pass']}**
 
-Method per BASELINE.md: efficiency = (T_N / T_4N) / 4. Shuffle
-partitions scale with cores (2×cpus); AQE enabled in both runs.
+Method per BASELINE.md: efficiency = (T_N / T_4N) / 4. Data-layout
+knobs are FIXED across configs (shuffle partitions pinned to 64,
+replication splits identical) so both runs execute the same task
+graph and only execution resources vary; AQE enabled in both runs.
 
 ## Secondary datapoint: 8 → 32 cores (reported for honesty)
 

@@ -275,4 +275,12 @@ def connected_components(pairs: DataFrame, key_a: str = "key_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving would silently
+        # SPLIT a real component into several group ids — refuse loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the "
+            "component diameter exceeds it"
+        )
     return labels

@@ -135,39 +135,51 @@ def accuracy_rollup(decisions: DataFrame, gold: DataFrame,
     correct/total rollup with integer-scaled Beta(5%,95%) credible
     bounds, the segmentation_accuracy_estimate.py:108-125 decade table.
 
-    The Beta quantiles are computed driver-side on the DISTINCT
-    (n_correct, n_total) pairs — at most one row per stratum, the same
-    tiny aggregate the reference iterates — then broadcast-joined back,
-    so the result stays a DataFrame and the bounds are exact integers
-    (micro-units) that hash identically across engines."""
+    The distributed work is ONE join + partial-agg'd groupBy, collected
+    exactly once (at most one row per stratum — the same tiny aggregate
+    the reference iterates); the Beta quantiles are attached driver-side
+    and the result is returned as a small DataFrame with exact-integer
+    (micro-unit) bounds that hash identically across engines. A
+    two-action formulation (collect a LUT, re-run the agg, join) was
+    rejected: it executes the gold join twice and silently drops strata
+    via the inner LUT join if the input is nondeterministic."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     j = decisions.join(gold, "doc_id", "inner")
     agg = j.groupBy(stratum_col).agg(
         F.sum((F.col(pred_col) == F.col(gold_col)).cast("long")).alias("n_correct"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    pairs = agg.select("n_correct", "n_total").distinct().collect()
-    lut = decisions.sparkSession.createDataFrame(
-        [
+    rows = agg.collect()
+    out = []
+    for r in rows:
+        nc, nt = int(r["n_correct"]), int(r["n_total"])
+        out.append(
             (
-                int(r["n_correct"]),
-                int(r["n_total"]),
-                int(round(beta_ppf(0.05, r["n_correct"] + 1.0,
-                                   r["n_total"] - r["n_correct"] + 1.0) * scale)),
-                int(round(beta_ppf(0.95, r["n_correct"] + 1.0,
-                                   r["n_total"] - r["n_correct"] + 1.0) * scale)),
+                r[stratum_col],
+                nc,
+                nt,
+                nc / nt,
+                int(round(beta_ppf(0.05, nc + 1.0, nt - nc + 1.0) * scale)),
+                int(round(beta_ppf(0.95, nc + 1.0, nt - nc + 1.0) * scale)),
             )
-            for r in pairs
-        ],
-        "n_correct long, n_total long, ci_low_micro long, ci_high_micro long",
+        )
+    schema = StructType(
+        [
+            agg.schema[stratum_col],
+            StructField("n_correct", LongType(), False),
+            StructField("n_total", LongType(), False),
+            StructField("accuracy", DoubleType(), False),
+            StructField("ci_low_micro", LongType(), False),
+            StructField("ci_high_micro", LongType(), False),
+        ]
     )
-    return agg.join(F.broadcast(lut), ["n_correct", "n_total"]).select(
-        stratum_col,
-        "n_correct",
-        "n_total",
-        (F.col("n_correct").cast("double") / F.col("n_total")).alias("accuracy"),
-        "ci_low_micro",
-        "ci_high_micro",
-    )
+    return decisions.sparkSession.createDataFrame(out, schema)
 
 
 def keep_f1(decisions: DataFrame, gold: DataFrame,

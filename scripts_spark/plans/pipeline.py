@@ -283,20 +283,26 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
 
 
 def curate(pages: DataFrame, cfg: CurateConfig | None = None,
-           boiler_override: DataFrame | None = None) -> DataFrame:
+           boiler_override: DataFrame | None = None,
+           docs: DataFrame | None = None) -> DataFrame:
     """Full pipeline → decision frame (SURVEY.md §7.0 output schema +
     bucket column for manifests/metrics).
 
     ``boiler_override``: a precomputed (domain, boiler_set) frame to use
     instead of this input's own boilerplate_sets — the seam streaming
-    uses to strip against evidence merged across micro-batches."""
+    uses to strip against evidence merged across micro-batches.
+    ``docs``: an already-computed (and typically persisted)
+    deduped_docs frame for the same pages, so a caller that needed it
+    for evidence extraction doesn't pay the dedup+repair chain twice."""
     cfg = cfg or CurateConfig()
-    docs = deduped_docs(pages, cfg)
-    # three consumers read this frame (boilerplate line counts, domain
-    # doc counts, and the main decision branch) — without the persist
-    # each would recompute the scan + url-dedup window + repair chain
-    if cfg.persist_intermediate and boiler_override is None:
-        docs = docs.persist()
+    if docs is None:
+        docs = deduped_docs(pages, cfg)
+        # three consumers read this frame (boilerplate line counts,
+        # domain doc counts, and the main decision branch) — without
+        # the persist each would recompute the scan + url-dedup window
+        # + repair chain
+        if cfg.persist_intermediate and boiler_override is None:
+            docs = docs.persist()
     boiler = boilerplate_sets(docs, cfg) if boiler_override is None else boiler_override
 
     d = docs.join(F.broadcast(boiler), "domain", "left")

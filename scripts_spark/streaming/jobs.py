@@ -74,15 +74,25 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        boiler = None
+        boiler, docs = None, None
         if boiler_state_dir is not None:
-            boiler = _merged_boiler(spark, batch_df, batch_id, boiler_state_dir, cfg)
-        dec = curate(batch_df, cfg, boiler_override=boiler)
-        # the commit unit is (job_id=batch_id, bucket): a replayed
-        # micro-batch resumes its own partial commit, while a NEW batch
-        # whose documents hash into buckets an earlier batch already
-        # committed is still written in full (no cross-batch skipping)
-        catalog.commit_buckets(dec, out_dir, job_id=batch_id)
+            # compute + persist the deduped/repaired docs frame ONCE:
+            # the two evidence writes and the curate pass all read it
+            # (without this the scan + url-dedup + repair chain runs 3x
+            # per micro-batch)
+            docs = deduped_docs(batch_df, cfg).persist()
+            boiler = _merged_boiler(spark, docs, batch_id, boiler_state_dir, cfg)
+        try:
+            dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs)
+            # the commit unit is (job_id=batch_id, bucket): a replayed
+            # micro-batch resumes its own partial commit, while a NEW
+            # batch whose documents hash into buckets an earlier batch
+            # already committed is still written in full (no
+            # cross-batch skipping)
+            catalog.commit_buckets(dec, out_dir, job_id=batch_id)
+        finally:
+            if docs is not None:
+                docs.unpersist()
 
     w = (
         stream.writeStream.foreachBatch(_process)
@@ -94,36 +104,31 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     return w.start()
 
 
-def _merged_boiler(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
                    state_dir: str, cfg: CurateConfig) -> DataFrame:
-    """Append this batch's exact boilerplate evidence to the state
-    table, then return boiler sets derived from ALL batches' merged
-    counts. Idempotent under micro-batch replay: evidence is
-    partitioned by batch_id and written with dynamic partition
-    overwrite, so a replayed batch replaces its own partition."""
-    docs = deduped_docs(batch_df, cfg)
+    """Append this batch's exact boilerplate evidence (from the
+    already-deduped ``docs`` frame) to the state table, then return
+    boiler sets derived from ALL batches' merged counts. Idempotent
+    under micro-batch replay: evidence is partitioned by batch_id and
+    written with per-write dynamic partition overwrite (an .option on
+    the writer, same as catalog.commit_buckets — NOT a session-conf
+    mutation, which would leak dynamic mode into later unrelated
+    overwrites), so a replayed batch replaces its own partition."""
     line_docs, dom_docs = boiler_line_evidence(docs, cfg)
-    wconf = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
-    old = {k: spark.conf.get(k, None) for k in wconf}
-    for k, v in wconf.items():
-        spark.conf.set(k, v)
-    try:
-        (
-            line_docs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(f"{state_dir}/lines")
-        )
-        (
-            dom_docs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(f"{state_dir}/domains")
-        )
-    finally:
-        for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)
+    (
+        line_docs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{state_dir}/lines")
+    )
+    (
+        dom_docs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{state_dir}/domains")
+    )
     merged_lines = (
         spark.read.parquet(f"{state_dir}/lines")
         .groupBy("domain", "para")

@@ -354,9 +354,11 @@ def test_boiler_state_replay_idempotent(spark, tmpdirs):
     ]
     batch = spark.createDataFrame(rows, PAGES_SCHEMA)
     cfg = CurateConfig(num_buckets=2, boiler_min_docs=1)
+    from scripts_spark.plans.pipeline import deduped_docs
     from scripts_spark.streaming.jobs import _merged_boiler
 
-    _merged_boiler(spark, batch, 7, state_dir, cfg)
+    docs = deduped_docs(batch, cfg)
+    _merged_boiler(spark, docs, 7, state_dir, cfg)
     first = {
         (r["domain"], r["para"]): r["line_docs"]
         for r in spark.read.parquet(f"{state_dir}/lines")
@@ -364,7 +366,7 @@ def test_boiler_state_replay_idempotent(spark, tmpdirs):
         .collect()
     }
     # replay the SAME batch_id (crash-retry): counts must not double
-    _merged_boiler(spark, batch, 7, state_dir, cfg)
+    _merged_boiler(spark, docs, 7, state_dir, cfg)
     again = {
         (r["domain"], r["para"]): r["line_docs"]
         for r in spark.read.parquet(f"{state_dir}/lines")
