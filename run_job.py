@@ -92,6 +92,10 @@ def main(argv: list[str] | None = None) -> int:
     dg.add_argument("--decisions", required=True)
     dg.add_argument("--output", required=True)
     dg.add_argument("--threshold", type=float, default=0.8)
+    dg.add_argument("--max-iter", type=int, default=25,
+                    help="label-propagation rounds; raise for near-dup "
+                         "chains deeper than this (the job fails loudly "
+                         "rather than split a component)")
 
     s = sub.add_parser(
         "qc-score",
@@ -157,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
             dec.select("doc_id", "scrubbed_text"), "doc_id",
             text_col="scrubbed_text", threshold=a.threshold,
         )
-        groups = dedup.connected_components(pairs).select(
+        groups = dedup.connected_components(pairs, max_iter=a.max_iter).select(
             F.col("node").alias("doc_id"), F.col("group").alias("group_id")
         )
         groups.write.mode("overwrite").parquet(a.output)

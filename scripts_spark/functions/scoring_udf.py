@@ -16,6 +16,13 @@ contention. No shuffle at all on this path.
 
 All sums are Python ints (exact); results are bit-identical to the
 oracle and to scoring_join (same frozen tables).
+
+Measured-and-rejected (round 3): a pandas-vectorized scorer
+(explode + dict-map + groupby-sum) was equivalence-verified and
+benchmarked at 0.3x the loop's speed — the memoized loop costs ~9µs
+per document, so this stage's wall time is Arrow transfer of the text
+column, not Python compute; vectorizing the compute only added
+explode/map overhead.
 """
 
 from __future__ import annotations
