@@ -2521,3 +2521,49 @@ def stopword_quality(spark, sf_dir):
         F.col("stop_hits") * 100 >= F.col("n_words") * 2
     )
     return out.select("doc_id", "n_words", "stop_hits", ratio.alias("stop_ratio"), keep.alias("keep"))
+
+
+# --- corpus statistics scan (stats-dashboard) ---------------------------
+_CORPUS_ROWS = [
+    ("https://x/1971/p1", 0, "pb", None, None),
+    ("https://x/1971/p1", 1, "note", "speaker", "Herr A:"),
+    ("https://x/1971/p1", 2, "u", None, "tre ord här"),
+    ("https://x/1971/p1", 3, "pb", None, None),
+    ("https://x/1971/p1", 4, "u", None, "två ord"),
+    ("https://x/1971/p2", 0, "note", "speaker", "Fru B:"),
+    ("https://x/1971/p2", 1, "u", None, "en"),
+    ("https://x/1972/p3", 0, "pb", None, None),
+    ("https://x/1972/p3", 1, "u", None, ""),
+    ("https://x/1972/p3", 2, "note", None, "ej talare"),
+]
+
+
+@q(
+    "corpus_stats",
+    f"""
+    WITH e(url, pos, elem_type, type_attr, text) AS (
+      VALUES {_sql_vals(_CORPUS_ROWS)})
+    SELECT CAST(regexp_extract(url, '/([0-9]{{4}})/', 1) AS INTEGER) AS year,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_protocols,
+           CAST(SUM(CASE WHEN elem_type = 'pb' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pages,
+           CAST(SUM(CASE WHEN elem_type = 'note' AND type_attr = 'speaker'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_speeches,
+           CAST(SUM(CASE WHEN elem_type = 'u' AND text IS NOT NULL
+                         THEN len(list_filter(string_split(text, ' '),
+                                  t -> t <> '' AND t <> chr(10)))
+                         ELSE 0 END) AS BIGINT) AS n_words
+    FROM e GROUP BY 1 ORDER BY year
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """The stats-dashboard full-corpus scan
+    (/root/reference/src/stats-dashboard/generate-markdown.py:100-152):
+    protocols / pages (pb) / speeches (speaker notes) / words per
+    protocol-year as ONE partial-agg'd groupBy (plans/stats.corpus_stats)
+    instead of the reference's per-file XML walk."""
+    segs = spark.createDataFrame(
+        _CORPUS_ROWS,
+        "url string, pos long, elem_type string, type_attr string, text string",
+    )
+    return ST.corpus_stats(segs)
