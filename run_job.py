@@ -92,10 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     dg.add_argument("--decisions", required=True)
     dg.add_argument("--output", required=True)
     dg.add_argument("--threshold", type=float, default=0.8)
-    dg.add_argument("--max-iter", type=int, default=25,
-                    help="label-propagation rounds; raise for near-dup "
-                         "chains deeper than this (the job fails loudly "
-                         "rather than split a component)")
+    dg.add_argument("--max-iter", type=int, default=None,
+                    help="label-propagation rounds (default: the "
+                         "operator's); raise for near-dup chains deeper "
+                         "than the default (the job fails loudly rather "
+                         "than split a component)")
 
     s = sub.add_parser(
         "qc-score",
@@ -161,7 +162,8 @@ def main(argv: list[str] | None = None) -> int:
             dec.select("doc_id", "scrubbed_text"), "doc_id",
             text_col="scrubbed_text", threshold=a.threshold,
         )
-        groups = dedup.connected_components(pairs, max_iter=a.max_iter).select(
+        cc_kwargs = {} if a.max_iter is None else {"max_iter": a.max_iter}
+        groups = dedup.connected_components(pairs, **cc_kwargs).select(
             F.col("node").alias("doc_id"), F.col("group").alias("group_id")
         )
         groups.write.mode("overwrite").parquet(a.output)

@@ -246,6 +246,8 @@ def connected_components(pairs: DataFrame, key_a: str = "key_a",
     large-star/small-star CC algorithm halves rounds, but near-dup
     graphs never get there. Returns (node, group) with group = min key
     in the component; only keys that appear in ``pairs`` are returned."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
