@@ -249,9 +249,15 @@ def connected_components(pairs: DataFrame, key_a: str = "key_a",
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # materialize the symmetric edge set ONCE: pairs is typically the
+    # whole near-dup detection pipeline (minhash/simhash), and leaving
+    # it lazy would re-execute that pipeline inside EVERY propagation
+    # round's join
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("group", F.col("node"))
