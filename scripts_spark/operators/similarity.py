@@ -240,8 +240,15 @@ def ivf_centroids_lloyd(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
                 lambda s: s["sx"].cast("double") / s["n"] / 1000.0,
             ).alias("_new")
         )
-        cents = cents.join(refined, "centroid_id", "left").select(
-            "centroid_id", F.coalesce("_new", "centroid_vec").alias("centroid_vec")
+        # n_lists rows: checkpoint keeps the plan flat across passes
+        # (each pass otherwise stacks an assignment+agg subtree under
+        # the next pass's broadcast)
+        cents = (
+            cents.join(refined, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("_new", "centroid_vec").alias("centroid_vec")
+            )
+            .localCheckpoint()
         )
     return cents
 
