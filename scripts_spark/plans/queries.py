@@ -2567,3 +2567,53 @@ def corpus_stats(spark, sf_dir):
         "url string, pos long, elem_type string, type_attr string, text string",
     )
     return ST.corpus_stats(segs)
+
+
+# --- JL random projection: dimension reduction for embeddings -----------
+_RP_DIMS = 4
+
+
+@q(
+    "random_projection",
+    f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(round(e * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))
+    SELECT vec_id,
+           {", ".join(
+             f"CAST(SUM(CASE WHEN ('0x' || substr(md5({j} || '|' || i), 1, 2))::INTEGER % 2 = 0"
+             f" THEN q ELSE -q END) AS BIGINT) AS p{j}"
+             for j in range(_RP_DIMS))}
+    FROM q GROUP BY vec_id
+    """,
+)
+def random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (training-data extras):
+    embeddings reduced to {_RP_DIMS} dimensions with deterministic ±1
+    signs — sign_j(i) = parity of the first md5 byte of 'j|i' — over
+    milli-quantized INTEGER components, so every projected coordinate
+    is an exact long in both engines. One explode + one partial-agg'd
+    groupBy; the sign function is computed inline (no plane table to
+    join, nothing broadcast). The production ANN path reuses this shape
+    with xxhash64 signs (operators/similarity.hyperplane_weights)."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id", "i", F.round(F.col("v") * 1000).cast("long").alias("q")
+    )
+    aggs = []
+    for j in range(_RP_DIMS):
+        sign = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("i").cast("string"))), 1, 2),
+                16, 10,
+            ).cast("int") % 2 == 0
+        )
+        aggs.append(
+            F.sum(F.when(sign, F.col("q")).otherwise(-F.col("q"))).alias(f"p{j}")
+        )
+    return x.groupBy("vec_id").agg(*aggs)
