@@ -26,6 +26,9 @@ def run(cpus: int) -> dict:
         BENCH_REPLICATE=REPLICATE,
         BENCH_ONLY="curate",
         BENCH_ENDURANCE="0",  # scaling compares the flagship run only
+        # 2 in-JVM trials per subprocess; burst-robustness comes from
+        # SCALE_TRIALS fresh-JVM runs at this level
+        BENCH_CURATE_TRIALS="2",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True
