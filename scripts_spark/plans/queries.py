@@ -2617,3 +2617,47 @@ def random_projection(spark, sf_dir):
             F.sum(F.when(sign, F.col("q")).otherwise(-F.col("q"))).alias(f"p{j}")
         )
     return x.groupBy("vec_id").agg(*aggs)
+
+
+# --- per-partition (bucket) metrics rollup (north rule) -----------------
+_MET_ROWS = [
+    ("u1", 0, True, []),
+    ("u2", 0, False, ["lang", "min_length"]),
+    ("u3", 1, False, ["boilerplate"]),
+    ("u4", 1, True, []),
+    ("u5", 1, False, ["lang", "perplexity", "repetition"]),
+]
+_MET_SQL_ROWS = ", ".join(
+    "('%s', %d, %s, [%s])"
+    % (u, b, "TRUE" if k else "FALSE", ", ".join(f"'{r}'" for r in rs))
+    for (u, b, k, rs) in _MET_ROWS
+)
+
+
+@q(
+    "metrics_rollup",
+    f"""
+    WITH d(url, bucket, keep, filter_reasons) AS (VALUES {_MET_SQL_ROWS})
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {", ".join(
+             "CAST(SUM(CASE WHEN list_contains(filter_reasons, '%s')"
+             " THEN 1 ELSE 0 END) AS BIGINT) AS n_%s" % (r, r)
+             for r in ["min_length", "repetition", "word_length", "digit_ratio",
+                       "caps_ratio", "boilerplate", "lang", "perplexity"])}
+    FROM d GROUP BY bucket
+    """,
+)
+def metrics_rollup(spark, sf_dir):
+    """Per-partition metrics (north rule 'per-partition metrics written
+    with the commit'): row/keep counts plus one column per filter
+    reason, the exact table catalog.commit_buckets persists alongside
+    every committed bucket (sources/catalog.partition_metrics)."""
+    from scripts_spark.sources.catalog import partition_metrics
+
+    dec = spark.createDataFrame(
+        _MET_ROWS,
+        "url string, bucket long, keep boolean, filter_reasons array<string>",
+    )
+    return partition_metrics(dec)
