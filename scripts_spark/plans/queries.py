@@ -2661,3 +2661,85 @@ def metrics_rollup(spark, sf_dir):
         "url string, bucket long, keep boolean, filter_reasons array<string>",
     )
     return partition_metrics(dec)
+
+
+# --- M1 scoring (join form) value-checked end-to-end --------------------
+from scripts_spark.functions import langmodel as LM  # noqa: E402
+from scripts_spark.functions import scoring_join as SJOIN  # noqa: E402
+
+_STOP_SQL_ROWS = ", ".join(
+    "('%s', %d)" % (w.replace("'", "''"), s)
+    for w, s in sorted(LM.STOP_SCORES.items())
+)
+_BG_SQL_ROWS = ", ".join(
+    "('%s', %d)" % (p.replace("'", "''"), c)
+    for p, c in sorted(LM.bigram_cost_table().items())
+)
+# token_normalize's two regexes in RE2/SQL-literal form (the '' is an
+# escaped single quote inside the SQL string)
+_PUNCT_SQL = "[\\[\\]{}()<>.,!§”$«»''\";]"
+_DIGIT_SQL = "[0-9\\-–—/]+"
+
+
+@q(
+    "doc_scoring",
+    f"""
+    WITH stop(tl, s) AS (VALUES {_STOP_SQL_ROWS}),
+    bg(pair, cost) AS (VALUES {_BG_SQL_ROWS}),
+    raw AS (
+      SELECT doc_id,
+             string_split(replace(coalesce(text, ''), chr(10), ' '), ' ') AS ts
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i,
+             trim(regexp_replace(regexp_replace(lower(t),
+                  '{_PUNCT_SQL}', '', 'g'), '{_DIGIT_SQL}', '', 'g'), ':') AS tl
+      FROM (SELECT doc_id, unnest(ts) AS t,
+                   generate_subscripts(ts, 1) AS i FROM raw)),
+    scored AS (
+      SELECT tok.doc_id, tok.i, tok.tl,
+             CASE WHEN tok.tl = '' THEN 0
+                  ELSE coalesce(stop.s,
+                       (CASE WHEN regexp_matches(tok.tl, '[åäö]')
+                             THEN 2 ELSE 0 END)
+                     + (CASE WHEN regexp_matches(tok.tl, '[wz]')
+                             THEN -1 ELSE 0 END))
+             END AS s
+      FROM tok LEFT JOIN stop ON tok.tl = stop.tl),
+    lang AS (
+      SELECT doc_id, CAST(SUM(s) AS BIGINT) AS lang_score
+      FROM scored GROUP BY doc_id),
+    nz AS (
+      SELECT doc_id, tl,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM tok WHERE tl <> ''),
+    pr AS (
+      SELECT a.doc_id, a.tl || ' ' || b.tl AS pair
+      FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+    px AS (
+      SELECT pr.doc_id, CAST(SUM(coalesce(bg.cost, {LM.OOV_COST_MILLI})) AS BIGINT)
+               AS ppx_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM pr LEFT JOIN bg ON pr.pair = bg.pair GROUP BY pr.doc_id)
+    SELECT lang.doc_id, lang.lang_score,
+           coalesce(px.ppx_sum, 0) AS ppx_sum,
+           coalesce(px.n_bigrams, 0) AS n_bigrams
+    FROM lang LEFT JOIN px ON lang.doc_id = px.doc_id
+    """,
+)
+def doc_scoring(spark, sf_dir):
+    """M1 model scoring, pure-JVM join form (functions/scoring_join:
+    token explode -> broadcast word-score join -> lag-window bigrams ->
+    broadcast cost join -> exact long sums), value-checked end-to-end
+    against a DuckDB replica that embeds the SAME frozen model tables
+    (190 word scores + {n_bg} bigram costs) as VALUES. This pins the
+    langid + perplexity semantics the flagship pipeline uses — the
+    Arrow scorer is equivalence-tested against this join form in
+    tests/test_pipeline_parity.py."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("scrubbed_text")
+    )
+    return SJOIN.doc_scores(d, key="doc_id")
+
+
+doc_scoring.__doc__ = doc_scoring.__doc__.format(n_bg=_BG_SQL_ROWS.count("(") )
