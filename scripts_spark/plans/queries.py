@@ -2743,3 +2743,52 @@ def doc_scoring(spark, sf_dir):
 
 
 doc_scoring.__doc__ = doc_scoring.__doc__.format(n_bg=_BG_SQL_ROWS.count("(") )
+
+
+# --- native session windows (streaming-compatible W1 twin) --------------
+@q(
+    "session_windows",
+    """
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark, sf_dir):
+    """Spark-native session_window aggregation (the stateful-streaming-
+    compatible form of W1 sessionize): per-user gap-merged sessions with
+    [first_event, last_event + gap) bounds. The oracle reproduces the
+    same sessions with classic gaps-and-islands SQL; window-boundary
+    semantics match because session_window's end is EXCLUSIVE — two
+    events exactly 30 minutes apart start separate sessions in both
+    formulations."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
