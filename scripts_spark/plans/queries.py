@@ -2792,3 +2792,57 @@ def session_windows(spark, sf_dir):
             "sum_value_cents",
         )
     )
+
+
+# --- ROLLUP subtotal aggregation (OLAP staple) --------------------------
+@q(
+    "rollup_order_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_totals(spark, sf_dir):
+    """ROLLUP aggregation: per (status, priority), per status, and the
+    grand total in ONE pass — Catalyst expands the grouping sets into a
+    single partial-agg'd shuffle (an Expand node), not three scans.
+    Subtotal rows carry NULL group keys in both engines."""
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+
+
+# --- pivot: one column per category ------------------------------------
+@q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot with an EXPLICIT value list (one count column per order
+    status): passing the values to .pivot() skips the extra distinct
+    scan Spark would otherwise run to discover them — at 10^12 rows
+    the discovery pass costs as much as the pivot itself."""
+    o = T(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_O"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_F"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_P"),
+    )
