@@ -91,3 +91,36 @@ def containment_join_unique_page(sentences: DataFrame, pages: DataFrame,
         F.count_distinct(page_id).alias("n_pages"), F.min(page_id).alias(page_id)
     )
     return arb.filter(F.col("n_pages") == 1).drop("n_pages")
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              value_cols: list[str], suffix: str = "_asof") -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    right.ts <= left.ts, per key (SURVEY custom-operator family; the
+    time-series point-in-time lookup).
+
+    Merged-stream window form — the scalable physical strategy: union
+    both streams, one sort per key partition, and a running
+    last(ignorenulls) carries the most recent right values forward onto
+    left rows. No range join, no per-row probe, no broadcast
+    requirement on either side; cost is one shuffle on the key plus the
+    partition sort both sides already need for any time ordering. Right
+    rows order BEFORE left rows at equal timestamps (<= semantics)."""
+    l = left.withColumn("_is_left", F.lit(1))
+    r = (
+        right.select(
+            F.col(key), F.col(ts), *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+        ).withColumn("_is_left", F.lit(0))
+    )
+    m = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        m = m.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = m.filter(F.col("_is_left") == 1).drop("_is_left")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}")
+    return out

@@ -2846,3 +2846,45 @@ def pivot_status_by_priority(spark, sf_dir):
         F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_F"),
         F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_P"),
     )
+
+
+# --- as-of join: point-in-time lookup -----------------------------------
+@q(
+    "asof_join_purchases",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT user_id, ts, 1 AS is_left, event_id,
+             CAST(NULL AS DOUBLE) AS rv
+      FROM l
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, value FROM r),
+    c AS (
+      SELECT *, last_value(rv IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_left
+                     ROWS UNBOUNDED PRECEDING) AS carried
+      FROM m)
+    SELECT event_id, user_id, ts,
+           CAST(round(carried * 100) AS BIGINT) AS purchase_cents_asof
+    FROM c WHERE is_left = 1
+    """,
+)
+def asof_join_purchases(spark, sf_dir):
+    """As-of join over the events stream: every click gets the value of
+    the user's latest purchase at-or-before that moment
+    (operators/joins.asof_join — merged-stream running last, not a
+    range join). Value emitted as integer cents; clicks before any
+    purchase carry NULL."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = J.asof_join(clicks, purch, key="user_id", ts="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value_asof") * 100).cast("long").alias("purchase_cents_asof"),
+    )

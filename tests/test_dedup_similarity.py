@@ -266,3 +266,19 @@ def test_connected_components_groups(spark):
     # determinism
     again = {r["node"]: r["group"] for r in dedup.connected_components(pairs).collect()}
     assert again == got
+
+
+def test_asof_join_semantics(spark):
+    # right rows at EQUAL ts are visible (<= semantics); later rights
+    # are not; keys without any prior right carry null
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 25, 250.0)], "k long, t long, v double"
+    )
+    out = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in joins.asof_join(left, right, key="k", ts="t", value_cols=["v"]).collect()
+    }
+    assert out == {(1, 10): 100.0, (1, 20): 150.0, (2, 5): None}
