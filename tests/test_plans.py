@@ -182,3 +182,64 @@ def test_interval_join_is_broadcast_nlj(spark):
     # NOT a cartesian product
     assert "BroadcastNestedLoop" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """The 100TB co-location story: two tables bucketBy'd on the join
+    key join WITHOUT any Exchange — at petabyte scale this is the
+    difference between a shuffle of both fact tables and none."""
+    import uuid
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n1, n2 = f"b_orders_{uuid.uuid4().hex[:8]}", f"b_cust_{uuid.uuid4().hex[:8]}"
+    try:
+        (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", str(tmp_path / "o")).saveAsTable(n1))
+        (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", str(tmp_path / "c")).saveAsTable(n2))
+        bo, bc = spark.table(n1), spark.table(n2)
+        j = bo.join(
+            bc, bo["o_custkey"] == bc["c_custkey"]
+        ).select("o_orderkey", "c_name")
+        # disable broadcast so the bucketed SMJ path is what's planned
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:3000]
+        assert j.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {n1}")
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
+
+
+def test_partition_pruning_on_write(spark, tmp_path):
+    """partitionBy'd output + a partition predicate → the scan lists
+    only the matching directory (PartitionFilters, not a full read)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "etype", F.col("event_type")
+    )
+    p = str(tmp_path / "ev")
+    ev.write.partitionBy("etype").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("etype") == "click")
+    plan = _formatted(back)
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "etype" in pf, pf
+    assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """HLL++ sketch within its advertised error of the exact count —
+    the cardinality path used when exact count-distinct's shuffle is
+    unaffordable."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) <= max(2, int(0.15 * exact)), (approx, exact)
