@@ -2888,3 +2888,62 @@ def asof_join_purchases(spark, sf_dir):
         "ts",
         F.round(F.col("value_asof") * 100).cast("long").alias("purchase_cents_asof"),
     )
+
+
+# --- O6 set ops: EXCEPT / INTERSECT -------------------------------------
+@q(
+    "set_ops",
+    """
+    SELECT 'except' AS op, doc_id FROM (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+      EXCEPT
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    UNION ALL
+    SELECT 'intersect', doc_id FROM (
+      SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+      INTERSECT
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    """,
+)
+def set_ops(spark, sf_dir):
+    """O6 set operators: EXCEPT (subtract) and INTERSECT over id sets —
+    both compile to aggregate-free hash joins (LeftAnti / LeftSemi +
+    distinct), not sort-based set difference."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    sevens = d.filter(F.col("doc_id") % 7 == 0)
+    threes = d.filter(F.col("doc_id") % 3 == 0)
+    ex = sevens.subtract(threes).withColumn("op", F.lit("except"))
+    it = sevens.intersect(threes).withColumn("op", F.lit("intersect"))
+    return ex.unionByName(it).select("op", "doc_id")
+
+
+# --- scalar-aggregate broadcast: above-average filter -------------------
+@q(
+    "above_avg_orders",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders)
+    SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+    FROM orders, s
+    WHERE CAST(round(o_totalprice*100) AS BIGINT) * s.n > s.tot
+    """,
+)
+def above_avg_orders(spark, sf_dir):
+    """Orders priced above the global mean, as an integer
+    cross-multiplication (price_cents * n > total_cents) — no float
+    average anywhere, so the comparison is exact in both engines. The
+    1-row aggregate broadcasts to every partition (scalar-subquery
+    shape); the fact table is scanned once."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = o.agg(
+        F.sum(cents).alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.select("o_orderkey", cents.alias("price_cents"))
+        .crossJoin(F.broadcast(s))
+        .filter(F.col("price_cents") * F.col("n") > F.col("tot"))
+        .select("o_orderkey", "price_cents")
+    )
