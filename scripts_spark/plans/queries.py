@@ -2947,3 +2947,27 @@ def above_avg_orders(spark, sf_dir):
         .filter(F.col("price_cents") * F.col("n") > F.col("tot"))
         .select("o_orderkey", "price_cents")
     )
+
+
+# --- ntile decile bucketing ---------------------------------------------
+@q(
+    "customer_deciles",
+    """
+    SELECT c_custkey,
+           ntile(10) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC,
+                           c_custkey) AS decile
+    FROM customer
+    """,
+)
+def customer_deciles(spark, sf_dir):
+    """ntile decile bucketing over account balance (integer cents with
+    a full tie-break, so bucket boundaries are deterministic across
+    engines). A single global window — appropriate for dimension-sized
+    tables; at fact scale the same decile comes from approx quantile
+    boundaries broadcast back (the sketch path tested in
+    test_plans.test_approx_count_distinct_tolerance's family)."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("long").desc(), "c_custkey"
+    )
+    return c.select("c_custkey", F.ntile(10).over(w).alias("decile"))
