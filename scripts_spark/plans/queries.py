@@ -2971,3 +2971,42 @@ def customer_deciles(spark, sf_dir):
         F.round(F.col("c_acctbal") * 100).cast("long").desc(), "c_custkey"
     )
     return c.select("c_custkey", F.ntile(10).over(w).alias("decile"))
+
+
+# --- inter-event gaps (lag diff, exact microseconds) --------------------
+@q(
+    "inter_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def inter_event_gaps(spark, sf_dir):
+    """Per-user inter-event gaps (the W-family lag-diff shape): exact
+    microsecond arithmetic on epoch integers — no timestamp subtraction
+    semantics cross the engines, only long math. Full (ts, event_id)
+    tie-break keeps lag deterministic under equal timestamps."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    return (
+        g.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
