@@ -3010,3 +3010,54 @@ def inter_event_gaps(spark, sf_dir):
             F.max("gap_us").alias("max_gap_us"),
         )
     )
+
+
+# --- null-safe equality join (<=>) --------------------------------------
+_NSJ_LEFT = [(1, "a"), (2, None), (3, "c")]
+_NSJ_RIGHT = [("a", 10), (None, 20), ("d", 30)]
+
+
+@q(
+    "null_safe_join",
+    f"""
+    WITH l(id, k) AS (VALUES {_sql_vals(_NSJ_LEFT)}),
+    r(k, v) AS (VALUES {_sql_vals(_NSJ_RIGHT)})
+    SELECT l.id, l.k, r.v
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equality join: NULL keys MATCH each other (<=> /
+    IS NOT DISTINCT FROM) — the semantics catalog reconciliation needs
+    when absent attributes must pair up instead of dropping. Still a
+    hash join (null-safe equality is a valid equi-join key), not a
+    nested loop."""
+    left = spark.createDataFrame(_NSJ_LEFT, "id long, k string")
+    right = spark.createDataFrame(_NSJ_RIGHT, "k string, v long")
+    return left.join(right, left["k"].eqNullSafe(right["k"])).select(
+        "id", left["k"].alias("k"), "v"
+    )
+
+
+# --- quarter rollup ------------------------------------------------------
+@q(
+    "quarter_rollup",
+    """
+    SELECT date_trunc('quarter', ts) AS quarter, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def quarter_rollup(spark, sf_dir):
+    """Calendar-quarter truncation rollup (the coarse sibling of
+    tumbling_window's hourly buckets) — both engines truncate to the
+    quarter's first midnight."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("quarter", "ts").alias("quarter"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )

@@ -243,3 +243,20 @@ def test_approx_count_distinct_tolerance(spark):
         F.approx_count_distinct("user_id", rsd=0.05).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) <= max(2, int(0.15 * exact)), (approx, exact)
+
+
+def test_approx_percentile_tolerance(spark):
+    """approx_percentile boundaries within tolerance of the exact
+    quantiles — the broadcastable-boundaries path for fact-scale
+    decile/percentile assignment (exact global sort is unaffordable
+    at 10^12 rows)."""
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    exact = c.selectExpr(
+        "percentile(c_acctbal, array(0.25, 0.5, 0.75)) AS q"
+    ).collect()[0]["q"]
+    approx = c.selectExpr(
+        "approx_percentile(c_acctbal, array(0.25, 0.5, 0.75), 1000) AS q"
+    ).collect()[0]["q"]
+    spread = max(exact) - min(exact) or 1.0
+    for e, a in zip(exact, approx):
+        assert abs(e - a) <= 0.1 * spread, (exact, approx)
