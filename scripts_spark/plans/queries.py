@@ -3061,3 +3061,52 @@ def quarter_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
     )
+
+
+# --- integer histogram ---------------------------------------------------
+@q(
+    "value_histogram",
+    """
+    SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / 500) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width value histogram over integer cents (5-unit buckets)
+    — the data-quality distribution primitive; bucket ids are exact
+    integer division, one partial-agg'd shuffle."""
+    ev = T(spark, sf_dir, "events")
+    bucket = F.floor(F.round(F.col("value") * 100).cast("long") / 500).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- sequence funnel: signup then purchase ------------------------------
+@q(
+    "funnel_conversions",
+    """
+    SELECT user_id,
+           (MIN(CASE WHEN event_type = 'signup' THEN ts END)
+            < MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+    FROM events GROUP BY user_id
+    HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+    """,
+)
+def funnel_conversions(spark, sf_dir):
+    """Two-step sequence funnel (signup happened, and a purchase exists
+    AFTER the first signup): one conditional-aggregate pass per user —
+    no self-join, no per-row sequence scan. Users who signed up but
+    never purchased afterwards come back converted=false/null-safe."""
+    ev = T(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    last_purchase = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            first_signup.alias("_fs"),
+            last_purchase.alias("_lp"),
+        )
+        .filter(F.col("_fs").isNotNull())
+        .select("user_id", (F.col("_fs") < F.col("_lp")).alias("converted"))
+    )
