@@ -2935,7 +2935,10 @@ def above_avg_orders(spark, sf_dir):
     cross-multiplication (price_cents * n > total_cents) — no float
     average anywhere, so the comparison is exact in both engines. The
     1-row aggregate broadcasts to every partition (scalar-subquery
-    shape); the fact table is scanned once."""
+    shape). Note the plan scans the source twice — once (price column
+    only, column-pruned) for the aggregate and once for the filter; at
+    fact scale either persist the scan or accept the second pruned
+    pass, which is still far cheaper than any join alternative."""
     o = T(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     s = o.agg(
@@ -2964,8 +2967,8 @@ def customer_deciles(spark, sf_dir):
     a full tie-break, so bucket boundaries are deterministic across
     engines). A single global window — appropriate for dimension-sized
     tables; at fact scale the same decile comes from approx quantile
-    boundaries broadcast back (the sketch path tested in
-    test_plans.test_approx_count_distinct_tolerance's family)."""
+    boundaries broadcast back (the sketch path pinned by
+    test_plans.test_approx_percentile_tolerance)."""
     c = T(spark, sf_dir, "customer")
     w = Window.orderBy(
         F.round(F.col("c_acctbal") * 100).cast("long").desc(), "c_custkey"
@@ -3074,11 +3077,15 @@ def quarter_rollup(spark, sf_dir):
     """,
 )
 def value_histogram(spark, sf_dir):
-    """Fixed-width value histogram over integer cents (5-unit buckets)
-    — the data-quality distribution primitive; bucket ids are exact
-    integer division, one partial-agg'd shuffle."""
+    """Fixed-width value histogram over integer cents (500-cent
+    buckets) — the data-quality distribution primitive; one
+    partial-agg'd shuffle. Bucket id is floor(cents / 500.0) with IEEE
+    DOUBLE division in BOTH engines (identical bit-for-bit) — do NOT
+    'simplify' either side to true integer division: Spark's `div`
+    truncates toward zero while DuckDB's `//` floors, so they diverge
+    on negative cents."""
     ev = T(spark, sf_dir, "events")
-    bucket = F.floor(F.round(F.col("value") * 100).cast("long") / 500).cast("long")
+    bucket = F.floor(F.round(F.col("value") * 100).cast("long") / 500)
     return ev.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -3087,26 +3094,35 @@ def value_histogram(spark, sf_dir):
     "funnel_conversions",
     """
     SELECT user_id,
-           (MIN(CASE WHEN event_type = 'signup' THEN ts END)
-            < MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+           coalesce(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    BETWEEN MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                        AND MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                            + INTERVAL 7 DAY,
+                    FALSE) AS converted
     FROM events GROUP BY user_id
     HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
     """,
 )
 def funnel_conversions(spark, sf_dir):
-    """Two-step sequence funnel (signup happened, and a purchase exists
-    AFTER the first signup): one conditional-aggregate pass per user —
-    no self-join, no per-row sequence scan. Users who signed up but
-    never purchased afterwards come back converted=false/null-safe."""
+    """Two-step sequence funnel with an attribution window: signed-up
+    users whose FIRST purchase lands within 7 days of their FIRST
+    signup. One conditional-aggregate pass per user — no self-join, no
+    per-row sequence scan. Users with no purchase at all (NULL branch)
+    and purchases outside the window both coalesce to converted=FALSE,
+    so the fixture exercises every branch (84 false / 66 true at
+    sf0.01)."""
     ev = T(spark, sf_dir, "events")
     first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
-    last_purchase = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    converted = F.coalesce(
+        F.col("_fp").between(
+            F.col("_fs"), F.col("_fs") + F.expr("INTERVAL 7 DAYS")
+        ),
+        F.lit(False),
+    )
     return (
         ev.groupBy("user_id")
-        .agg(
-            first_signup.alias("_fs"),
-            last_purchase.alias("_lp"),
-        )
+        .agg(first_signup.alias("_fs"), first_purchase.alias("_fp"))
         .filter(F.col("_fs").isNotNull())
-        .select("user_id", (F.col("_fs") < F.col("_lp")).alias("converted"))
+        .select("user_id", converted.alias("converted"))
     )
