@@ -3126,3 +3126,28 @@ def funnel_conversions(spark, sf_dir):
         .filter(F.col("_fs").isNotNull())
         .select("user_id", converted.alias("converted"))
     )
+
+
+# --- CUBE with GROUPING() markers ---------------------------------------
+@q(
+    "cube_order_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_totals(spark, sf_dir):
+    """CUBE aggregation with GROUPING() markers: all four grouping sets
+    in one Expand-node pass, and the marker columns distinguish a
+    subtotal's NULL from a NULL that was real data — without them the
+    two are indistinguishable in the output."""
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
