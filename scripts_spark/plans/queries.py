@@ -3151,3 +3151,32 @@ def cube_order_totals(spark, sf_dir):
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- rolling distinct count (windowed dedup cardinality) ----------------
+@q(
+    "rolling_distinct_users",
+    """
+    SELECT event_id,
+           CAST(COUNT(DISTINCT user_id)
+                OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS INTEGER)
+             AS n_distinct_users
+    FROM events
+    """,
+)
+def rolling_distinct_users(spark, sf_dir):
+    """Rolling distinct-user cardinality over the last 100 events per
+    type: Spark has no COUNT(DISTINCT) window, so the idiomatic form is
+    size(collect_set(...)) over the same frame — identical result,
+    and the set stays bounded by the frame length."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.collect_set("user_id").over(w)).alias("n_distinct_users"),
+    )
