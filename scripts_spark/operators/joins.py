@@ -105,7 +105,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     left rows. No range join, no per-row probe, no broadcast
     requirement on either side; cost is one shuffle on the key plus the
     partition sort both sides already need for any time ordering. Right
-    rows order BEFORE left rows at equal timestamps (<= semantics)."""
+    rows order BEFORE left rows at equal timestamps (<= semantics).
+
+    Determinism: when the right side has several rows at the same
+    (key, ts), the window order tie-breaks on the value columns
+    themselves (ascending), so the carried value is always the tuple-MAX
+    of the tied rows — stable under any partitioning / run, instead of
+    whichever row the shuffle happened to emit last. (ignorenulls skips
+    null values, so engines that sort NULLS FIRST vs NULLS LAST agree.)"""
     l = left.withColumn("_is_left", F.lit(1))
     r = (
         right.select(
@@ -115,7 +122,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     m = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_is_left")
+        .orderBy(ts, "_is_left", *[f"_r_{c}" for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in value_cols:

@@ -4,8 +4,9 @@
   beyond the final top-k;
 - random-hyperplane LSH buckets: the scale path — signature join
   prunes the candidate set before exact cosine verification. Plane
-  weights are derived deterministically from xxhash64(plane, dim), so
-  there is no RNG state and reruns are identical.
+  weights are a deterministic ±1 matrix (blake2b bit streams), applied
+  as one numpy matmul per Arrow batch inside mapInPandas: bucketing is
+  a narrow map with zero shuffle.
 """
 
 from __future__ import annotations
@@ -41,33 +42,79 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
-def hyperplane_weights(spark: SparkSession, dim: int, planes: int) -> DataFrame:
-    """Deterministic ±1 plane weights: sign of xxhash64(plane, dim)."""
-    base = spark.range(planes).select(F.col("id").alias("plane")).crossJoin(
-        spark.range(dim).select(F.col("id").alias("d"))
-    )
-    return base.withColumn(
-        "w",
-        F.when(F.xxhash64("plane", "d") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-    )
+def plane_matrix(dim: int, planes: int):
+    """Deterministic ±1 hyperplane matrix (planes × dim), derived from
+    blake2b("plane:<p>") bit streams — no RNG state, reruns identical,
+    and identical for corpus rows and the query vector. Tiny
+    (30 × 768 ≈ 180 KB at the largest sizing), so it ships to every
+    task inside the mapInPandas closure — a broadcast in all but name."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for p in range(planes):
+        bits: list[int] = []
+        counter = 0
+        while len(bits) < dim:
+            h = hashlib.blake2b(
+                b"plane:%d:%d" % (p, counter), digest_size=32
+            ).digest()
+            for byte in h:
+                for b in range(8):
+                    bits.append(1.0 if (byte >> b) & 1 else -1.0)
+            counter += 1
+        rows.append(bits[:dim])
+    return np.asarray(rows, dtype=np.float64)
 
 
-def lsh_bucket(emb: DataFrame, weights: DataFrame, key: str = "vec_id",
+def _pack_signs(V, M):
+    """numpy: sign bits of V @ Mᵀ packed into one int64 per row."""
+    import numpy as np
+
+    proj = V @ M.T  # (n, planes)
+    bits = (proj > 0).astype(np.int64)
+    return (bits << np.arange(M.shape[0], dtype=np.int64)).sum(axis=1)
+
+
+def lsh_bucket(emb: DataFrame, dim: int, planes: int, key: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """Bucket key per vector: sign bits of the plane projections.
-    explode → broadcast-join weights → per-(key,plane) sum → bit pack."""
-    ex = emb.select(F.col(key), F.posexplode(_as_double(F.col(vec_col))).alias("d", "v"))
-    proj = (
-        ex.join(F.broadcast(weights), "d")
-        .groupBy(key, "plane")
-        .agg(F.sum(F.col("v") * F.col("w")).alias("p"))
+    """Bucket key per vector: sign bits of the plane projections,
+    computed as ONE numpy matmul per Arrow batch in mapInPandas —
+    a narrow (zero-shuffle) map over the embedding scan.
+
+    Replaces the round-3 posexplode→broadcast-join→groupBy form, whose
+    exchange carried n×dim exploded (key, d, v) rows — at 10^12 docs ×
+    768 dims that shuffle dwarfed every other stage (r3 verdict,
+    'What's wrong' #1). Here nothing crosses the wire but the input
+    batches already being scanned, and the per-batch cost is a BLAS
+    matmul instead of dim interpreted row ops per vector."""
+    import pandas as pd
+
+    M = plane_matrix(dim, planes)
+    key_dt = emb.schema[key].dataType.simpleString()
+
+    def _part(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame({key: pdf[key], "bucket": _pack_signs(V, M)})
+
+    return emb.select(key, vec_col).mapInPandas(
+        _part, schema=f"{key} {key_dt}, bucket long"
     )
-    return proj.groupBy(key).agg(
-        F.sum(
-            F.when(F.col("p") > 0, F.pow(F.lit(2.0), F.col("plane")).cast("long"))
-            .otherwise(F.lit(0))
-        ).alias("bucket")
-    )
+
+
+def query_bucket(query_vec: list[float], planes: int) -> int:
+    """The same sign-bit bucket for a single driver-side query vector —
+    no Spark job needed (the r3 form ran a 1-row collect())."""
+    import numpy as np
+
+    M = plane_matrix(len(query_vec), planes)
+    return int(_pack_signs(np.asarray([query_vec], dtype=np.float64), M)[0])
 
 
 def ann_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -77,12 +124,9 @@ def ann_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
     ``probe_hamming`` sign-bit flips of the query's bucket
     (multi-probe LSH — recall recovers what single-bucket probing
     loses on near-orthogonal vectors, at 1+planes bucket probes)."""
-    spark = emb.sparkSession
     dim = len(query_vec)
-    w = hyperplane_weights(spark, dim, planes)
-    buckets = lsh_bucket(emb, w, key, vec_col)
-    qdf = spark.createDataFrame([(0, query_vec)], f"{key} long, {vec_col} array<double>")
-    qbucket = lsh_bucket(qdf, w, key, vec_col).collect()[0]["bucket"]
+    buckets = lsh_bucket(emb, dim, planes, key, vec_col)
+    qbucket = query_bucket(query_vec, planes)
     near = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
     cand = emb.join(buckets.filter(near).select(key), key, "left_semi")
     return brute_force_topk(cand, query_vec, k, key, vec_col)
@@ -116,12 +160,10 @@ def pairwise_topk(emb: DataFrame, k: int = 5, key: str = "vec_id",
       ``_quantized`` kernel as ivf_assign) with per-vector norms²
       precomputed once BEFORE the self-join, so each candidate pair
       costs one long-array dot, not two float norm folds."""
-    spark = emb.sparkSession
     if planes is None:
         planes = planes_for(emb.count(), target_bucket_rows)
     dim = emb.select(F.size(vec_col)).first()[0]
-    w = hyperplane_weights(spark, dim, planes)
-    b = lsh_bucket(emb, w, key, vec_col)
+    b = lsh_bucket(emb, dim, planes, key, vec_col)
     zero = F.lit(0).cast("long")
     n2 = F.aggregate(F.col("_q"), zero, lambda acc, v: acc + v * v)
     e = (

@@ -1899,7 +1899,7 @@ def _sql_vals(rows) -> str:
             return "TRUE" if v else "FALSE"
         if isinstance(v, int):
             return str(v)
-        return "'%s'" % v
+        return "'%s'" % str(v).replace("'", "''")
     return ", ".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
 
 
@@ -2597,8 +2597,9 @@ def random_projection(spark, sf_dir):
     milli-quantized INTEGER components, so every projected coordinate
     is an exact long in both engines. One explode + one partial-agg'd
     groupBy; the sign function is computed inline (no plane table to
-    join, nothing broadcast). The production ANN path reuses this shape
-    with xxhash64 signs (operators/similarity.hyperplane_weights)."""
+    join, nothing broadcast). The production ANN bucketing path uses
+    the same deterministic-±1-plane idea as a per-batch numpy matmul
+    (operators/similarity.plane_matrix / lsh_bucket)."""
     e = T(spark, sf_dir, "embeddings")
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
@@ -2742,7 +2743,8 @@ def doc_scoring(spark, sf_dir):
     return SJOIN.doc_scores(d, key="doc_id")
 
 
-doc_scoring.__doc__ = doc_scoring.__doc__.format(n_bg=_BG_SQL_ROWS.count("(") )
+if doc_scoring.__doc__:  # survives python -OO (docstrings stripped)
+    doc_scoring.__doc__ = doc_scoring.__doc__.format(n_bg=_BG_SQL_ROWS.count("("))
 
 
 # --- native session windows (streaming-compatible W1 twin) --------------
@@ -2864,7 +2866,7 @@ def pivot_status_by_priority(spark, sf_dir):
       SELECT user_id, ts, 0, NULL, value FROM r),
     c AS (
       SELECT *, last_value(rv IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, is_left
+               OVER (PARTITION BY user_id ORDER BY ts, is_left, rv
                      ROWS UNBOUNDED PRECEDING) AS carried
       FROM m)
     SELECT event_id, user_id, ts,

@@ -260,3 +260,22 @@ def test_approx_percentile_tolerance(spark):
     spread = max(exact) - min(exact) or 1.0
     for e, a in zip(exact, approx):
         assert abs(e - a) <= 0.1 * spread, (exact, approx)
+
+
+def test_lsh_bucket_zero_shuffle(spark):
+    """LSH bucketing must be a NARROW map over the embedding scan:
+    one numpy matmul per Arrow batch, nothing exploded, nothing
+    shuffled (r3 verdict flagged the old posexplode→join→groupBy form
+    as the pipeline's biggest at-scale exchange)."""
+    from scripts_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    b = similarity.lsh_bucket(emb, dim, planes=8)
+    plan = _plan(b)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no posexplode of (key, d, v)
+    # and the full multi-probe query keeps the bucket stage narrow:
+    # its only exchanges belong to the final semi-join / top-k
+    q = similarity.ann_topk_lsh(emb, [0.1] * dim, k=5, planes=8)
+    assert "Generate" not in _plan(q)
