@@ -175,6 +175,12 @@ def main() -> None:
         out["endurance_docs_per_sec"] = round(
             endurance_docs / timings["curate_endurance"], 1
         )
+    scaling = _scaling_block()
+    if scaling is not None:
+        out["scaling"] = scaling
+    control = _control_run()
+    if control is not None:
+        out["control"] = control
     prev = _previous_round()
     if prev is not None:
         out["previous"] = prev
@@ -183,6 +189,63 @@ def main() -> None:
                 100.0 * (out["docs_per_sec"] / prev["docs_per_sec"] - 1.0), 1
             )
     print(json.dumps(out))
+
+
+def _scaling_block() -> dict | None:
+    """Embed the latest scaling.py result (SCALING.json) so each
+    round's bench JSON carries the north-rule N→4N efficiency number
+    machine-readably, not only in BENCH_SCALING.md prose."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except Exception:
+        return None
+    return {
+        "eff": d.get("scaling_efficiency"),
+        "trials": d.get("trials"),
+        "n_cores": d.get("n_cores"),
+        "four_n_cores": d.get("four_n_cores"),
+        "pass": d.get("pass"),
+    }
+
+
+def _control_run() -> dict | None:
+    """Same-window A/B control: if a clone of a previous-round commit
+    exists at $BENCH_CONTROL_DIR (default /tmp/spark_graft_control),
+    run ITS bench.py (flagship + endurance only) immediately after this
+    run's measurements and embed its numbers. This is the repo's own
+    regression discipline (BENCH.md): on a box with documented 6x
+    steal swings, a slowdown is attributable only against a control
+    measured in the same window — identical input, identical env,
+    minutes apart."""
+    import subprocess
+
+    if os.environ.get("BENCH_IS_CONTROL") == "1":
+        return None
+    ctrl_dir = os.environ.get("BENCH_CONTROL_DIR", "/tmp/spark_graft_control")
+    if not os.path.isdir(os.path.join(ctrl_dir, "scripts_spark")):
+        return None
+    env = dict(os.environ, BENCH_IS_CONTROL="1", BENCH_ONLY="curate")
+    try:
+        r = subprocess.run(
+            [sys.executable, "bench.py"], cwd=ctrl_dir, env=env,
+            capture_output=True, text=True, timeout=1800, check=True,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')][-1]
+        d = json.loads(line)
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ctrl_dir,
+            capture_output=True, text=True,
+        ).stdout.strip()
+        return {
+            "commit": commit,
+            "curate_sec": d["queries"].get("curate"),
+            "docs_per_sec": d.get("docs_per_sec"),
+            "endurance_docs_per_sec": d.get("endurance_docs_per_sec"),
+        }
+    except Exception as ex:  # control is evidence, never a bench failure
+        return {"error": str(ex)[:200]}
 
 
 def _previous_round() -> dict | None:

@@ -62,6 +62,12 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
+    # machine-readable twin of BENCH_SCALING.md: bench.py embeds this
+    # into its own JSON line so each round's BENCH_rN carries the
+    # north-rule scaling number without scraping markdown
+    with open("SCALING.json", "w") as f:
+        json.dump({**result, "trials": trials, "n_cores": n, "four_n_cores": four_n}, f)
+        f.write("\n")
     with open("BENCH_SCALING.md", "w") as f:
         f.write(
             f"""# Scaling efficiency (N → 4N cores proxy for N → 4N executors)

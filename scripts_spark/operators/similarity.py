@@ -230,11 +230,17 @@ def _quantized(arr):
 def ivf_assign(emb: DataFrame, centroids: DataFrame, key: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid by cosine: broadcast
-    the (tiny) centroid table, cross join, keep the argmax — one pass
-    over the data, no shuffle of the embedding column beyond the final
-    per-key argmax window. The ranking score is dot/sqrt(|c|²) over
-    milli-quantized INTEGER sums (|v| is constant per vector, so it
-    drops out of the argmax) — bit-identical across engines."""
+    the (tiny) centroid table, cross join, keep the argmax. The ranking
+    score is dot/sqrt(|c|²) over milli-quantized INTEGER sums (|v| is
+    constant per vector, so it drops out of the argmax) — bit-identical
+    across engines.
+
+    The argmax is max_by with a (sim, -centroid_id) struct — same
+    (desc sim, asc centroid_id) order as a row_number window, but as a
+    PARTIAL-AGGREGABLE reduction: the map side combines the n_lists
+    candidate rows per vector down to one before the exchange, so the
+    shuffle carries ≤ n rows instead of the window form's n × n_lists
+    rows plus a per-partition sort."""
     e = emb.select(F.col(key), _quantized(F.col(vec_col)).alias("_q"))
     cents = centroids.select("centroid_id", _quantized(F.col("centroid_vec")).alias("_cq"))
     x = e.crossJoin(F.broadcast(cents))
@@ -246,12 +252,14 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, key: str = "vec_id",
     sim = F.when(n2c > 0, dot.cast("double") / F.sqrt(n2c.cast("double"))).otherwise(
         F.lit(0.0)
     )
-    w = Window.partitionBy(key).orderBy(F.desc("sim"), "centroid_id")
     return (
         x.select(F.col(key), F.col("centroid_id"), sim.alias("sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(key, "centroid_id")
+        .groupBy(key)
+        .agg(
+            F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias(
+                "centroid_id"
+            )
+        )
     )
 
 
@@ -295,29 +303,75 @@ def ivf_centroids_lloyd(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
     return cents
 
 
-def ann_topk_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
-                 n_lists: int = 16, n_probe: int = 4,
-                 key: str = "vec_id", vec_col: str = "embedding",
-                 centroids: DataFrame | None = None) -> DataFrame:
-    """IVF approximate top-k: probe the n_probe centroid lists nearest
-    the query and run exact cosine only inside them. At scale the
-    assignment is computed once (a stored index column / partition
-    key), so a query touches n_probe/n_lists of the data — the
-    clustered-pruning alternative to the hyperplane-LSH path."""
+def _probe_lists(centroid_rows, query_vec: list[float], n_probe: int) -> list[int]:
+    """Rank centroids vs the query on the driver (n_lists rows,
+    trivial) and return the n_probe nearest centroid_ids."""
     import math
 
-    cents = centroids if centroids is not None else ivf_centroids(emb, n_lists, key, vec_col)
-    assign = ivf_assign(emb, cents, key, vec_col)
-    # rank centroids vs the query on the driver: n_lists rows, trivial
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     scored = []
-    for r in cents.collect():
+    for r in centroid_rows:
         cv = r["centroid_vec"]
         cn = math.sqrt(sum(x * x for x in cv)) or 1.0
         dot = sum(a * b for a, b in zip(query_vec, cv))
         scored.append((dot / (qn * cn), r["centroid_id"]))
-    probe = [cid for _, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    return [cid for _, cid in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+
+
+def ann_topk_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_lists: int = 16, n_probe: int = 4,
+                 key: str = "vec_id", vec_col: str = "embedding",
+                 centroids: DataFrame | None = None) -> DataFrame:
+    """IVF approximate top-k, assignment computed inline: probe the
+    n_probe centroid lists nearest the query and run exact cosine only
+    inside them. At scale the assignment is computed once and stored —
+    see build_ivf_index / ann_topk_ivf_indexed for that form."""
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_lists, key, vec_col)
+    assign = ivf_assign(emb, cents, key, vec_col)
+    probe = _probe_lists(cents.collect(), query_vec, n_probe)
     cand = emb.join(
         assign.filter(F.col("centroid_id").isin(probe)).select(key), key, "left_semi"
     )
     return brute_force_topk(cand, query_vec, k, key, vec_col)
+
+
+def build_ivf_index(emb: DataFrame, index_dir: str, n_lists: int = 16,
+                    iters: int = 0, key: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Materialize the IVF index: one assignment pass over the corpus,
+    vectors written PARTITIONED BY centroid_id (plus the centroid
+    table). Build cost is paid once; every query then reads only its
+    probed partitions — the 'stored index column / partition key' shape
+    the inline form's docstring promises at 10^12 rows. With ``iters``
+    > 0 the centroids get that many Lloyd refinement passes first."""
+    cents = (
+        ivf_centroids_lloyd(emb, n_lists, key, vec_col, iters)
+        if iters
+        else ivf_centroids(emb, n_lists, key, vec_col)
+    )
+    assign = ivf_assign(emb, cents, key, vec_col)
+    (
+        emb.join(assign, key)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return cents
+
+
+def ann_topk_ivf_indexed(spark: SparkSession, index_dir: str,
+                         query_vec: list[float], k: int = 10, n_probe: int = 4,
+                         key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Query path over the STORED IVF index: rank centroids driver-side
+    (n_lists rows), then scan ONLY the n_probe matching partitions —
+    the centroid_id filter is a partition-directory prune, so the query
+    touches n_probe/n_lists of the data at the FILE LISTING level
+    (plan-asserted in tests/test_plans.py), never deserializing the
+    rest. This is the clustered-pruning alternative to hyperplane LSH."""
+    cents = spark.read.parquet(f"{index_dir}/centroids").collect()
+    probe = _probe_lists(cents, query_vec, n_probe)
+    vecs = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("centroid_id").isin(probe)
+    )
+    return brute_force_topk(vecs, query_vec, k, key, vec_col)

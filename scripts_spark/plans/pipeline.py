@@ -228,12 +228,12 @@ def boiler_line_evidence(docs: DataFrame, cfg: CurateConfig) -> tuple[DataFrame,
     additive across disjoint inputs, so per-batch tables merged by SUM
     equal one exact pass over the union.
 
-    Unlike boilerplate_sets' hash-then-confirm, this keeps the
-    paragraph STRINGS: a line rare in every single batch but common
-    across batches must survive into the merged state, so no per-batch
-    candidate pruning is sound. At 100 TB the stored state would use
-    (domain, hash) keys plus a confirm pass at merge time — same
-    two-pass trick, applied to the state table instead."""
+    A line rare in every single batch but common across batches must
+    survive into the merged state, so no per-batch candidate pruning is
+    sound here; the stored state itself is hash-keyed by the caller
+    (streaming/jobs._merged_boiler strips the strings before writing
+    and re-confirms against the current batch's strings at merge
+    time — the batch two-pass trick applied to the state table)."""
     lines = docs.select(
         "domain", F.explode(F.array_distinct("paras")).alias("para")
     )

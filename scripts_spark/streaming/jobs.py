@@ -56,11 +56,12 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     crawl). State survives restarts via the checkpoint.
 
     ``boiler_state_dir`` upgrades boilerplate detection the same way:
-    each micro-batch appends its EXACT (domain, para) line counts to a
+    each micro-batch appends its (domain, line-hash) counts to a
     parquet state table (partitioned by batch_id with dynamic partition
     overwrite, so a crash-replayed batch overwrites rather than
     double-counts its own evidence), and the strip runs against the
-    boiler sets derived from the MERGED counts. A boilerplate line
+    boiler sets derived from the MERGED counts, confirmed against the
+    current batch's strings (see _merged_boiler). A boilerplate line
     whose evidence is split across micro-batches — each batch alone
     below threshold — is therefore stripped from every batch processed
     after the threshold is crossed (evidence grows monotonically;
@@ -104,19 +105,41 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     return w.start()
 
 
+def _line_hashes(df: DataFrame) -> DataFrame:
+    """Two independent 64-bit line hashes — a 128-bit combined key, so
+    a cross-batch false merge needs a 2^-128 collision (vs 2^-64 for a
+    single xxhash64, which at 10^12 lines has a real birthday risk)."""
+    return df.withColumn("h1", F.xxhash64("para")).withColumn(
+        "h2", F.xxhash64(F.lit("boiler-h2"), F.col("para"))
+    )
+
+
 def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
                    state_dir: str, cfg: CurateConfig) -> DataFrame:
-    """Append this batch's exact boilerplate evidence (from the
-    already-deduped ``docs`` frame) to the state table, then return
-    boiler sets derived from ALL batches' merged counts. Idempotent
-    under micro-batch replay: evidence is partitioned by batch_id and
-    written with per-write dynamic partition overwrite (an .option on
-    the writer, same as catalog.commit_buckets — NOT a session-conf
-    mutation, which would leak dynamic mode into later unrelated
-    overwrites), so a replayed batch replaces its own partition."""
+    """Append this batch's boilerplate evidence to the state table,
+    then return boiler sets derived from ALL batches' merged counts.
+
+    The state is HASH-KEYED — (domain, h1, h2, line_docs), ~24 bytes
+    per line key instead of the paragraph string — the streaming twin
+    of the batch pipeline's hash-then-confirm (plans/pipeline.
+    boilerplate_sets). The confirm side needs no historic strings:
+    only a line PRESENT in the current batch can be stripped from the
+    current batch, so the current batch's own (domain, para) rows are
+    joined (strings in hand) against the merged hash counts, with the
+    absolute > boiler_min_docs threshold applied hash-side first so
+    the join's broadcast side is just the candidate nav/footer lines.
+
+    Idempotent under micro-batch replay: evidence is partitioned by
+    batch_id and written with per-write dynamic partition overwrite
+    (an .option on the writer, same as catalog.commit_buckets — NOT a
+    session-conf mutation, which would leak dynamic mode into later
+    unrelated overwrites), so a replayed batch replaces its own
+    partition."""
     line_docs, dom_docs = boiler_line_evidence(docs, cfg)
     (
-        line_docs.withColumn("batch_id", F.lit(batch_id))
+        _line_hashes(line_docs)
+        .select("domain", "h1", "h2", "line_docs")
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -129,17 +152,23 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
         .partitionBy("batch_id")
         .parquet(f"{state_dir}/domains")
     )
-    merged_lines = (
+    cand = (
         spark.read.parquet(f"{state_dir}/lines")
-        .groupBy("domain", "para")
+        .groupBy("domain", "h1", "h2")
         .agg(F.sum("line_docs").alias("line_docs"))
+        .filter(F.col("line_docs") > cfg.boiler_min_docs)
+    )
+    confirmed = (
+        _line_hashes(line_docs.select("domain", "para"))
+        .join(F.broadcast(cand), ["domain", "h1", "h2"])
+        .select("domain", "para", "line_docs")
     )
     merged_doms = (
         spark.read.parquet(f"{state_dir}/domains")
         .groupBy("domain")
         .agg(F.sum("domain_docs").alias("domain_docs"))
     )
-    return boiler_sets_from_counts(merged_lines, merged_doms, cfg)
+    return boiler_sets_from_counts(confirmed, merged_doms, cfg)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

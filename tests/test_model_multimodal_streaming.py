@@ -359,19 +359,31 @@ def test_boiler_state_replay_idempotent(spark, tmpdirs):
 
     docs = deduped_docs(batch, cfg)
     _merged_boiler(spark, docs, 7, state_dir, cfg)
-    first = {
-        (r["domain"], r["para"]): r["line_docs"]
-        for r in spark.read.parquet(f"{state_dir}/lines")
-        .groupBy("domain", "para").agg(F.sum("line_docs").alias("line_docs"))
-        .collect()
-    }
+    state = spark.read.parquet(f"{state_dir}/lines")
+    # the state is HASH-KEYED: no paragraph strings on disk, just the
+    # (domain, h1, h2, line_docs) key — bounded at ~24 bytes per line
+    assert "para" not in state.columns, state.columns
+    assert {"domain", "h1", "h2", "line_docs"} <= set(state.columns)
+
+    def merged():
+        return {
+            (r["domain"], r["h1"], r["h2"]): r["line_docs"]
+            for r in spark.read.parquet(f"{state_dir}/lines")
+            .groupBy("domain", "h1", "h2").agg(F.sum("line_docs").alias("line_docs"))
+            .collect()
+        }
+
+    first = merged()
     # replay the SAME batch_id (crash-retry): counts must not double
     _merged_boiler(spark, docs, 7, state_dir, cfg)
-    again = {
-        (r["domain"], r["para"]): r["line_docs"]
-        for r in spark.read.parquet(f"{state_dir}/lines")
-        .groupBy("domain", "para").agg(F.sum("line_docs").alias("line_docs"))
-        .collect()
-    }
+    again = merged()
     assert again == first
-    assert first[("rep.example.com", "samma rad")] == 3
+    h1, h2 = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit("samma rad")),
+            F.xxhash64(F.lit("boiler-h2"), F.lit("samma rad")),
+        )
+        .first()
+    )
+    assert first[("rep.example.com", h1, h2)] == 3

@@ -279,3 +279,40 @@ def test_lsh_bucket_zero_shuffle(spark):
     # its only exchanges belong to the final semi-join / top-k
     q = similarity.ann_topk_lsh(emb, [0.1] * dim, k=5, planes=8)
     assert "Generate" not in _plan(q)
+
+
+def test_ivf_stored_index_partition_pruning(spark, tmp_path):
+    """The stored-index IVF query path must prune at the partition-
+    directory level: only the n_probe probed centroid_id partitions
+    appear in the scan, and the answer matches the inline-assignment
+    form over the same centroids."""
+    from scripts_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, idx, n_lists=8)
+    dim = emb.select(F.size("embedding")).first()[0]
+    qv = [0.05 * ((i % 7) - 3) for i in range(dim)]
+
+    got = similarity.ann_topk_ivf_indexed(spark, idx, qv, k=5, n_probe=2)
+    plan = _formatted(got)
+    # partition pruning proof: the centroid_id predicate is a partition
+    # filter on the scan (not a post-scan Filter over all rows)
+    assert "centroid_id" in plan and "PartitionFilters" in plan, plan
+    probed = similarity._probe_lists(
+        spark.read.parquet(f"{idx}/centroids").collect(), qv, 2
+    )
+    files = {
+        f.name for f in __import__("pathlib").Path(f"{idx}/vectors").iterdir()
+        if f.name.startswith("centroid_id=")
+    }
+    assert len(files) == 8  # index holds all lists...
+    # ...and the executed scan read only the probed ones
+    scanned = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scanned and all(str(p) in scanned[0] for p in probed), (probed, scanned)
+
+    inline = similarity.ann_topk_ivf(
+        emb, qv, k=5, n_lists=8, n_probe=2,
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+    )
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in inline.collect()]

@@ -20,6 +20,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from scripts_spark.plans import queries as Q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 TABLES = [
@@ -107,3 +108,22 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.columns[0] == "url"
     assert len(rows) >= 0
+
+
+def test_driver_window_covers_critical_operators():
+    """The external gate checks only the first 50 registered queries;
+    registration order is curated (Q.DRIVER_WINDOW) so those slots
+    cover every §2 family + every LLM-pipeline operator. Pin it."""
+    first50 = list(Q.REGISTRY)[:50]
+    assert first50 == Q.DRIVER_WINDOW
+    critical = {
+        "quality_filter", "lang_mismatch", "doc_scoring", "boiler_headers",
+        "dedup_groups", "minhash_lsh_pairs", "simhash_pairs", "ivf_assign",
+        "random_projection", "fuzzy_cascade", "containment_pages",
+        "asof_join_purchases", "gold_decade_rollup", "section_lifecycle",
+        "rollup_order_totals", "metrics_rollup", "normalize_ws",
+        "uuid_ordinal_sort",
+    }
+    assert critical <= set(first50)
+    # every window slot must be value-checkable (has an oracle)
+    assert all(n in Q.ORACLES for n in first50)
