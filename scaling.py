@@ -15,7 +15,14 @@ import subprocess
 import sys
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = sys.argv[1] if len(sys.argv) > 1 else "40"
+# 100x ≈ 500k docs: per-run fixed costs (driver planning, stage
+# scheduling, the single-file base-table read) measure ~5.7s regardless
+# of core count (fit from T(c)=s+p/c at 200k docs, round 4) — at 200k
+# they alone cap apparent 2→8 efficiency at ~0.75 even with a perfectly
+# scalable pipeline. 500k amortizes them to <6% of the 2-core run,
+# which is the regime the north rule describes (a 10^12-doc job has no
+# per-run fixed-cost fraction).
+REPLICATE = sys.argv[1] if len(sys.argv) > 1 else "100"
 
 
 def run(cpus: int) -> dict:
@@ -26,6 +33,7 @@ def run(cpus: int) -> dict:
         BENCH_REPLICATE=REPLICATE,
         BENCH_ONLY="curate",
         BENCH_ENDURANCE="0",  # scaling compares the flagship run only
+        BENCH_IS_CONTROL="1",  # no nested control-clone run inside scaling
         # 2 in-JVM trials per subprocess; burst-robustness comes from
         # SCALE_TRIALS fresh-JVM runs at this level
         BENCH_CURATE_TRIALS="2",
