@@ -226,11 +226,11 @@ def _control_run() -> dict | None:
     ctrl_dir = os.environ.get("BENCH_CONTROL_DIR", "/tmp/spark_graft_control")
     if not os.path.isdir(os.path.join(ctrl_dir, "scripts_spark")):
         return None
-    env = dict(os.environ, BENCH_IS_CONTROL="1", BENCH_ONLY="curate")
+    env = dict(os.environ, BENCH_IS_CONTROL="1")
     try:
         r = subprocess.run(
             [sys.executable, "bench.py"], cwd=ctrl_dir, env=env,
-            capture_output=True, text=True, timeout=1800, check=True,
+            capture_output=True, text=True, timeout=2400, check=True,
         )
         line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')][-1]
         d = json.loads(line)
@@ -240,7 +240,7 @@ def _control_run() -> dict | None:
         ).stdout.strip()
         return {
             "commit": commit,
-            "curate_sec": d["queries"].get("curate"),
+            "queries": d.get("queries"),
             "docs_per_sec": d.get("docs_per_sec"),
             "endurance_docs_per_sec": d.get("endurance_docs_per_sec"),
         }
