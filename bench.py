@@ -213,7 +213,8 @@ def _scaling_block() -> dict | None:
 def _control_run() -> dict | None:
     """Same-window A/B control: if a clone of a previous-round commit
     exists at $BENCH_CONTROL_DIR (default /tmp/spark_graft_control),
-    run ITS bench.py (flagship + endurance only) immediately after this
+    run ITS bench.py — the FULL row set, so micro-query regressions are
+    attributable too, not only the flagship — immediately after this
     run's measurements and embed its numbers. This is the repo's own
     regression discipline (BENCH.md): on a box with documented 6x
     steal swings, a slowdown is attributable only against a control

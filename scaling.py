@@ -73,10 +73,11 @@ def main() -> None:
     # machine-readable twin of BENCH_SCALING.md: bench.py embeds this
     # into its own JSON line so each round's BENCH_rN carries the
     # north-rule scaling number without scraping markdown
-    with open("SCALING.json", "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "SCALING.json"), "w") as f:
         json.dump({**result, "trials": trials, "n_cores": n, "four_n_cores": four_n}, f)
         f.write("\n")
-    with open("BENCH_SCALING.md", "w") as f:
+    with open(os.path.join(here, "BENCH_SCALING.md"), "w") as f:
         f.write(
             f"""# Scaling efficiency (N → 4N cores proxy for N → 4N executors)
 

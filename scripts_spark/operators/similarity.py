@@ -103,7 +103,12 @@ def lsh_bucket(emb: DataFrame, dim: int, planes: int, key: str = "vec_id",
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             yield pd.DataFrame({key: pdf[key], "bucket": _pack_signs(V, M)})
 
-    return emb.select(key, vec_col).mapInPandas(
+    # null / wrong-length vectors get no bucket (JVM-side filter, so
+    # the numpy matmul always sees a rectangular batch) — same net
+    # behavior as the old posexplode form, which produced no rows for
+    # them, instead of an inhomogeneous-shape crash inside the UDF
+    clean = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    return clean.select(key, vec_col).mapInPandas(
         _part, schema=f"{key} {key_dt}, bucket long"
     )
 

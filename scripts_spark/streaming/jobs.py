@@ -75,14 +75,16 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        boiler, docs = None, None
+        boiler, docs, evidence = None, None, None
         if boiler_state_dir is not None:
             # compute + persist the deduped/repaired docs frame ONCE:
             # the two evidence writes and the curate pass all read it
             # (without this the scan + url-dedup + repair chain runs 3x
             # per micro-batch)
             docs = deduped_docs(batch_df, cfg).persist()
-            boiler = _merged_boiler(spark, docs, batch_id, boiler_state_dir, cfg)
+            boiler, evidence = _merged_boiler(
+                spark, docs, batch_id, boiler_state_dir, cfg
+            )
         try:
             dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs)
             # the commit unit is (job_id=batch_id, bucket): a replayed
@@ -94,6 +96,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
         finally:
             if docs is not None:
                 docs.unpersist()
+            if evidence is not None:
+                evidence.unpersist()
 
     w = (
         stream.writeStream.foreachBatch(_process)
@@ -134,8 +138,15 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
     (an .option on the writer, same as catalog.commit_buckets — NOT a
     session-conf mutation, which would leak dynamic mode into later
     unrelated overwrites), so a replayed batch replaces its own
-    partition."""
+    partition.
+
+    Returns (boiler_sets, persisted_line_docs): line_docs is persisted
+    because TWO actions consume it — the state write here, and the
+    lazy confirm join when curate runs the strip — and without the
+    persist the batch's explode+groupBy aggregation would execute
+    twice per micro-batch. The caller unpersists it after commit."""
     line_docs, dom_docs = boiler_line_evidence(docs, cfg)
+    line_docs = line_docs.persist()
     (
         _line_hashes(line_docs)
         .select("domain", "h1", "h2", "line_docs")
@@ -168,7 +179,7 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
         .groupBy("domain")
         .agg(F.sum("domain_docs").alias("domain_docs"))
     )
-    return boiler_sets_from_counts(confirmed, merged_doms, cfg)
+    return boiler_sets_from_counts(confirmed, merged_doms, cfg), line_docs
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -282,3 +282,17 @@ def test_asof_join_semantics(spark):
         for r in joins.asof_join(left, right, key="k", ts="t", value_cols=["v"]).collect()
     }
     assert out == {(1, 10): 100.0, (1, 20): 150.0, (2, 5): None}
+
+
+def test_lsh_bucket_skips_null_and_ragged_vectors(spark):
+    """A NULL or wrong-length embedding must get no bucket (like the
+    old posexplode form) — not crash the numpy matmul batch."""
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, None),
+        (3, [1.0, 2.0]),           # ragged: wrong dim
+        (4, [0.5, -1.0, 2.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in similarity.lsh_bucket(emb, dim=4, planes=4).collect()}
+    assert got == {1, 4}

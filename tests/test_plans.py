@@ -307,9 +307,17 @@ def test_ivf_stored_index_partition_pruning(spark, tmp_path):
         if f.name.startswith("centroid_id=")
     }
     assert len(files) == 8  # index holds all lists...
-    # ...and the executed scan read only the probed ones
+    # ...and the executed scan read only the probed ones: parse the
+    # actual IN-list (bare substring matching on single-digit ids
+    # would pass vacuously against expression ids like centroid_id#123)
+    import re
+
     scanned = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert scanned and all(str(p) in scanned[0] for p in probed), (probed, scanned)
+    assert scanned, plan
+    m = re.search(r"centroid_id#?\d* IN \(([^)]*)\)", scanned[0])
+    assert m, scanned[0]
+    in_list = {int(x) for x in m.group(1).split(",")}
+    assert in_list == set(probed), (in_list, probed)
 
     inline = similarity.ann_topk_ivf(
         emb, qv, k=5, n_lists=8, n_probe=2,
