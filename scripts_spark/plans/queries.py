@@ -3424,3 +3424,182 @@ def _curate_order() -> None:
 
 
 _curate_order()
+
+
+# ============ batch 6 (round 4): training-data pipeline extras =========
+
+@q(
+    "chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    s AS (
+      SELECT doc_id, toks,
+             generate_series(0, greatest(len(toks) - 1, 0), 32) AS starts
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           unnest(list_transform(starts, x -> x // 32)) AS chunk_id,
+           unnest(list_transform(starts,
+             x -> CAST(len(list_slice(toks, x + 1, x + 48)) AS BIGINT)))
+             AS n_chunk_tokens,
+           unnest(list_transform(starts,
+             x -> array_to_string(list_slice(toks, x + 1, x + 48), ' ')))
+             AS chunk_text
+    FROM s
+    """,
+)
+def chunk_windows(spark, sf_dir):
+    """Sliding-window training-sample chunking (training-data extras):
+    every document split into 48-token windows at stride 32 (16-token
+    overlap, the standard LM-pretraining chunk shape). One sequence()
+    of chunk starts per doc + one explode — the explode factor is
+    n_tokens/stride, bounded and known, and every per-chunk column is
+    pure array arithmetic (slice + array_join), no UDF, no shuffle
+    until whatever consumes the chunks."""
+    d = T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = _tokens(F.col("text"))
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(32))
+    d = d.select("doc_id", "toks", F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, 48)
+    return d.select(
+        "doc_id",
+        (F.col("s") / 32).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@q(
+    "url_canonical",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://'
+               || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+               || '.Example.SE/2020/page-' || doc_id
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '/?utm_source=feed&ref=' || source || '&q=riksdag'
+                       ELSE '?utm_campaign=x' END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)) AS host,
+             regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+                            '/$', '') AS path,
+             CASE WHEN contains(url, '?') THEN
+               list_sort(list_filter(
+                 str_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                 p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref='))))
+             ELSE [] END AS kept
+      FROM raw)
+    SELECT doc_id, url AS raw_url,
+           'https://' || host || path
+             || CASE WHEN len(kept) > 0
+                     THEN '?' || array_to_string(kept, '&') ELSE '' END
+             AS canonical_url,
+           host AS domain,
+           CAST(len(kept) AS BIGINT) AS n_params_kept
+    FROM parts
+    """,
+)
+def url_canonical(spark, sf_dir):
+    """URL canonicalization kernel (web-scale training-data extras):
+    lowercase scheme+host, strip the trailing slash, drop utm_*/ref
+    tracking params, sort the surviving query params — the dedup-key
+    normalization a crawl pipeline applies before url-level dedup.
+    Messy inputs are synthesized deterministically from the documents
+    table IN BOTH ENGINES (mixed-case hosts, tracking params on every
+    second url). Pure regexp/array expressions, codegen'd, no UDF."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.SE/2020/page-"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("/?utm_source=feed&ref="), F.col("source"), F.lit("&q=riksdag")),
+        ).otherwise(F.lit("?utm_campaign=x")),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?]+([^?]*)", 1), r"/$", ""
+    )
+    kept = F.when(
+        F.col("url").contains("?"),
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?(.*)$", 1), "&"),
+                lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", F.col("url").alias("raw_url"), host.alias("domain"),
+                 path.alias("path"), kept.alias("kept"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.col("domain"),
+        F.col("path"),
+        F.when(
+            F.size("kept") > 0, F.concat(F.lit("?"), F.array_join("kept", "&"))
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", "raw_url", canonical.alias("canonical_url"), "domain",
+        F.size("kept").cast("long").alias("n_params_kept"),
+    )
+
+
+@q(
+    "langid_calibration",
+    f"""
+    WITH scored AS ({{LANG_NGRAM_SQL}}),
+    conf AS (
+      SELECT s.doc_id, s.lang_pred, d.lang AS lang_true,
+             CASE WHEN s.sv_hits + s.en_hits > 0
+                  THEN CAST(greatest(s.sv_hits, s.en_hits) AS DOUBLE)
+                       / (s.sv_hits + s.en_hits)
+                  ELSE 0.5 END AS confidence
+      FROM scored s JOIN documents d USING (doc_id))
+    SELECT CAST(least(CAST(floor(confidence * 10) AS BIGINT), 9) AS BIGINT)
+             AS conf_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM conf GROUP BY 1
+    """,
+)
+def langid_calibration(spark, sf_dir):
+    """Classifier calibration bins (model-eval extras): the trigram
+    language-ID's argmax confidence bucketed into deciles, with
+    per-bin empirical accuracy against the labeled lang column — the
+    reliability-diagram aggregation used to pick a keep threshold for
+    a quality filter. Composes the lang_ngram scorer (its oracle SQL
+    is embedded as a CTE so both engines score identically); accuracy
+    is a division of exact longs."""
+    scored = lang_ngram(spark, sf_dir)
+    d = T(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("lang_true"))
+    total = F.col("sv_hits") + F.col("en_hits")
+    conf = F.when(
+        total > 0, F.greatest("sv_hits", "en_hits").cast("double") / total
+    ).otherwise(F.lit(0.5))
+    j = scored.join(d, "doc_id").select(
+        "lang_pred", "lang_true", conf.alias("confidence")
+    )
+    bin_ = F.least(F.floor(F.col("confidence") * 10).cast("long"), F.lit(9).cast("long"))
+    correct = F.when(F.col("lang_pred") == F.col("lang_true"), 1).otherwise(0)
+    return j.groupBy(bin_.alias("conf_bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+ORACLES["langid_calibration"] = ORACLES["langid_calibration"].format(
+    LANG_NGRAM_SQL=ORACLES["lang_ngram"]
+)
