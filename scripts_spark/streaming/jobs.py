@@ -12,6 +12,9 @@ here serves two engine-native purposes:
    late-arriving pages of a domain.
 2. watermarked tumbling-window metrics over an event stream — the
    streaming twin of the `tumbling_window` batch query.
+3. custom stateful operators via applyInPandasWithState
+   (running_domain_stats): explicit per-key GroupState carried across
+   micro-batches with a processing-time idle timeout.
 """
 
 from __future__ import annotations
@@ -214,6 +217,76 @@ def run_windowed_counts(spark: SparkSession, input_dir: str, checkpoint_dir: str
         agg.writeStream.format("memory")
         .queryName(table_name)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def running_domain_stats(pages: DataFrame,
+                         idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (the engine-native form the task brief names for operators the
+    built-in aggregations can't express): per-domain RUNNING totals —
+    documents seen, Swedish-tagged documents, total text bytes —
+    carried across micro-batches in explicit GroupState rather than
+    recomputed from history.
+
+    Each micro-batch emits one updated row per domain touched in that
+    batch (update-mode semantics); state is three longs per domain —
+    bounded by the domain universe, not the stream length — and is
+    dropped after ``idle_timeout_ms`` of processing-time inactivity so an
+    abandoned domain does not pin memory forever. Restart-safe via the
+    query checkpoint like all stateful operators."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "domain string, docs_seen long, sv_docs long, text_bytes long"
+    )
+    state_schema = "docs_seen long, sv_docs long, text_bytes long"
+
+    def _update(key, batches, state: GroupState):
+        (domain,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        docs, sv, nbytes = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            docs += len(pdf)
+            sv += int((pdf["lang"] == "sv").sum())
+            nbytes += int(pdf["text"].fillna("").str.encode("utf-8").str.len().sum())
+        state.update((docs, sv, nbytes))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"domain": [domain], "docs_seen": [docs], "sv_docs": [sv],
+             "text_bytes": [nbytes]}
+        )
+
+    dom = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1), r"^www\.", ""
+    )
+    return (
+        pages.withColumn("domain", dom)
+        .groupBy("domain")
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_domain_stats(spark: SparkSession, input_dir: str, checkpoint_dir: str,
+                     table_name: str,
+                     max_files_per_trigger: int | None = None) -> "StreamingQuery":
+    """File-source pages stream → running_domain_stats → in-memory
+    sink (update mode), processing everything available then stopping."""
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    agg = running_domain_stats(pages)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

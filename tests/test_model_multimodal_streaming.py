@@ -387,3 +387,33 @@ def test_boiler_state_replay_idempotent(spark, tmpdirs):
         .first()
     )
     assert first[("rep.example.com", h1, h2)] == 3
+
+
+def test_running_domain_stats_stateful(spark, tmpdirs):
+    """applyInPandasWithState carries per-domain running totals ACROSS
+    micro-batches: with one file per trigger, the second batch's
+    emitted row must include the first batch's counts from GroupState,
+    not just its own."""
+    import datetime
+
+    in_dir, _, ckpt, _ = tmpdirs
+    def rows(i):
+        return [
+            (f"https://stat.example.com/p{i}{j}", datetime.datetime(2020, 1, 1 + i),
+             None, "text nummer " + str(i * 10 + j), "sv" if j == 0 else "en")
+            for j in (0, 1)
+        ]
+
+    spark.createDataFrame(rows(1), PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows(2), PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    q = SJ.run_domain_stats(spark, in_dir, ckpt, "domstats", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    upd = spark.table("domstats").filter(F.col("domain") == "stat.example.com")
+    per_batch = sorted(r["docs_seen"] for r in upd.collect())
+    # update-mode sink holds one emitted row per micro-batch the domain
+    # appeared in: first batch totals 2 docs, second batch 4 CUMULATIVE
+    assert per_batch == [2, 4], per_batch
+    final = upd.orderBy(F.desc("docs_seen")).first()
+    assert final["sv_docs"] == 2          # one sv doc per batch
+    assert final["text_bytes"] > 0
