@@ -3603,3 +3603,174 @@ def langid_calibration(spark, sf_dir):
 ORACLES["langid_calibration"] = ORACLES["langid_calibration"].format(
     LANG_NGRAM_SQL=ORACLES["lang_ngram"]
 )
+
+
+@q(
+    "gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(str_split(text, ' '), x -> x <> '') AS toks,
+             list_filter(str_split(text, chr(10)), x -> x <> '') AS lines
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-zÀ-öø-ÿ]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS n_hash,
+             CAST(length(text) - length(replace(text, '…', ''))
+                  AS BIGINT) AS n_ellipsis,
+             CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+                                              OR starts_with(ltrim(l), '-')))
+                  AS BIGINT) AS n_bullet_lines,
+             CAST(len(lines) AS BIGINT) AS n_lines
+      FROM t)
+    SELECT doc_id, n_words, n_alpha_words, n_hash, n_ellipsis,
+           n_bullet_lines, n_lines,
+           (n_words BETWEEN 50 AND 100000)
+             AND (n_alpha_words * 5 >= n_words * 4)
+             AND (n_hash * 10 <= n_words)
+             AND (n_ellipsis * 10 <= n_words)
+             AND (n_bullet_lines * 10 <= n_lines * 9)
+             AS gopher_keep
+    FROM m
+    """,
+)
+def gopher_rules(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, the
+    standard web-text heuristic battery): word-count bounds, alphabetic
+    -word ratio ≥ 0.8, symbol-to-word caps for '#' and '…', bullet-line
+    share < 0.9 — each as integer-exact cross-multiplied comparisons
+    (no float ratios), all pure column arithmetic over one pass.
+    Complements the engine's own rule set (plans/pipeline._reasons),
+    which targets the reference's Swedish-parliament heuristics."""
+    d = T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = _tokens(F.col("text"))
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != "")
+    alpha = F.filter(toks, lambda w: w.rlike("[A-Za-zÀ-öø-ÿ]"))
+    bullet = F.filter(
+        lines,
+        lambda l: F.ltrim(l).startswith("•") | F.ltrim(l).startswith("-"),
+    )
+    n_occurrences = lambda ch: (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch), F.lit("")))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(alpha).cast("long").alias("n_alpha_words"),
+        n_occurrences("#").alias("n_hash"),
+        n_occurrences("…").alias("n_ellipsis"),
+        F.size(bullet).cast("long").alias("n_bullet_lines"),
+        F.size(lines).cast("long").alias("n_lines"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("n_alpha_words") * 5 >= F.col("n_words") * 4)
+        & (F.col("n_hash") * 10 <= F.col("n_words"))
+        & (F.col("n_ellipsis") * 10 <= F.col("n_words"))
+        & (F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9)
+    )
+    return m.withColumn("gopher_keep", keep)
+
+
+# --- benchmark decontamination: 8-gram overlap vs an eval set ----------
+_EVAL_PROMPTS = [
+    # (eval_id, prompt) — stand-in benchmark items; two are verbatim
+    # substrings of plausible corpus sentences, one is novel
+    ("e1", "herr talman jag vill tacka utskottet för dess arbete i frågan"),
+    ("e2", "the quick brown fox jumps over the lazy dog every single day"),
+    ("e3", "detta unika benchmarkstycke förekommer inte i någon korpus alls"),
+]
+
+
+@q(
+    "benchmark_contamination",
+    f"""
+    WITH ev(eval_id, prompt) AS (VALUES {_sql_vals(_EVAL_PROMPTS)}),
+    corpus AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+      FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT 'contam-' || eval_id,
+             'inledande mening här ' || prompt || ' och en avslutning'
+      FROM ev),
+    eg AS (
+      SELECT DISTINCT eval_id,
+             array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS gram
+      FROM (SELECT eval_id,
+                   list_filter(str_split(prompt, ' '), x -> x <> '') AS toks
+            FROM ev),
+           unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS g(s)
+      WHERE len(toks) >= 8),
+    dg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(toks) - 8, 0)),
+               s -> array_to_string(list_slice(toks, s + 1, s + 8), ' ')))
+               AS gram
+      FROM (SELECT doc_id,
+                   list_filter(str_split(text, ' '), x -> x <> '') AS toks
+            FROM corpus)
+      WHERE len(toks) >= 8)
+    SELECT dg.doc_id, eg.eval_id,
+           COUNT(DISTINCT dg.gram) AS n_shared_grams
+    FROM dg JOIN eg USING (gram)
+    GROUP BY dg.doc_id, eg.eval_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Train/eval decontamination (training-data extras): flag corpus
+    documents sharing any 8-token n-gram with a benchmark prompt set —
+    the standard contamination check before pretraining. The eval side
+    is tiny and BROADCAST; the corpus side explodes to one row per
+    8-gram (bounded: n_tokens − 7 per doc) and the join prunes to
+    matches only, so nothing corpus-sized shuffles. At 10^12 docs the
+    same plan holds with the eval grams hashed (xxhash64) instead of
+    carried as strings.
+
+    Two deterministically planted contaminated docs (an eval prompt
+    embedded mid-sentence) guarantee the overlap path is exercised at
+    every scale factor — a 0-row pass would be weak evidence."""
+    ev = spark.createDataFrame(_EVAL_PROMPTS, "eval_id string, prompt string")
+    planted = ev.select(
+        F.concat(F.lit("contam-"), F.col("eval_id")).alias("doc_id"),
+        F.concat(
+            F.lit("inledande mening här "), F.col("prompt"), F.lit(" och en avslutning")
+        ).alias("text"),
+    )
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .unionByName(planted)
+    )
+
+    def grams(col, out):
+        toks = _tokens(col)
+        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
+        return (
+            F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " "))
+            .alias(out)
+        )
+
+    # docs shorter than 8 tokens yield one truncated gram, which can
+    # never equal an 8-token eval gram — same keep set as the oracle's
+    # explicit len >= 8 guard
+    dg = (
+        d.select("doc_id", grams(F.col("text"), "g"))
+        .filter(F.size("g") > 0)
+        .select("doc_id", F.explode("g").alias("gram"))
+    )
+    eg = (
+        ev.select("eval_id", grams(F.col("prompt"), "g"))
+        .select("eval_id", F.explode("g").alias("gram"))
+        .distinct()
+    )
+    return (
+        dg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
