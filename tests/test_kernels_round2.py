@@ -199,3 +199,68 @@ def test_git_stable_sort_orders_by_all_columns(spark):
     )
     got = [(r["k"], r["v"]) for r in git_stable_sort(df).collect()]
     assert got == [(1, "a"), (1, "z"), (2, "a"), (2, "b")]
+
+
+# ----------------------- round-4 kernels: url canonical / chunking ----
+SF = "/root/testdata/sf0.001"
+
+
+def _canon_py(url: str) -> tuple[str, str, int]:
+    """Pure-Python oracle of the url_canonical kernel."""
+    import re
+
+    host = re.match(r"^[A-Za-z]+://([^/?]+)", url)
+    host = (host.group(1) if host else "").lower()
+    path = re.match(r"^[A-Za-z]+://[^/?]+([^?]*)", url)
+    path = re.sub(r"/$", "", path.group(1) if path else "")
+    kept: list[str] = []
+    if "?" in url:
+        qs = url.split("?", 1)[1]
+        kept = sorted(
+            p for p in qs.split("&")
+            if not (p.startswith("utm_") or p.startswith("ref="))
+        )
+    canon = f"https://{host}{path}" + (f"?{'&'.join(kept)}" if kept else "")
+    return canon, host, len(kept)
+
+
+def test_url_canonical_matches_python_oracle(spark):
+    """The Spark url kernel inside the query vs a pure-Python oracle
+    over every synthesized messy shape (case salad, tracking params,
+    kept params, trailing slash, no query)."""
+    from scripts_spark.plans.queries import url_canonical
+
+    out = {r["doc_id"]: r for r in url_canonical(spark, SF).collect()}
+    assert out
+    for doc_id, row in out.items():
+        canon, host, n_kept = _canon_py(row["raw_url"])
+        assert row["canonical_url"] == canon, (row["raw_url"], row["canonical_url"], canon)
+        assert row["domain"] == host
+        assert row["n_params_kept"] == n_kept
+
+
+def test_chunk_windows_properties(spark):
+    """Structural invariants of the training-chunk operator: chunk ids
+    are dense 0..k-1, k = floor((n-1)/32)+1, and every chunk is the
+    VERBATIM token slice at its stride offset with 1..48 tokens."""
+    from scripts_spark.plans.queries import chunk_windows
+
+    rows = chunk_windows(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    docs = {r["doc_id"]: [t for t in (r["text"] or "").split(" ") if t != ""]
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks = docs[doc_id]
+        n = len(toks)
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == (n - 1) // 32 + 1
+        for c in chunks:
+            s = c["chunk_id"] * 32
+            expect = toks[s:s + 48]
+            got = [t for t in c["chunk_text"].split(" ") if t != ""]
+            assert got == expect, (doc_id, c["chunk_id"])
+            assert c["n_chunk_tokens"] == len(expect) >= 1
