@@ -1831,6 +1831,40 @@ _SV_TRI_LIT = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in _SV_TRI)
 _EN_TRI_LIT = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in _EN_TRI) + "]"
 
 
+def _trigram_scored(d: DataFrame) -> DataFrame:
+    """Trigram language-ID over any frame with a text column: adds
+    sv_hits / en_hits / lang_pred, keeping every other input column —
+    so consumers that need extra columns (calibration needs the label)
+    score in the SAME scan instead of joining documents back to itself
+    on its own key."""
+    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not an
+    # empty array — an empty text must produce zero trigrams like the
+    # oracle's generate_series does
+    tri = F.when(
+        F.length(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: F.substr(t, i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sv = F.array(*[F.lit(g) for g in _SV_TRI])
+    en = F.array(*[F.lit(g) for g in _EN_TRI])
+    d = d.withColumn(
+        "sv_hits", F.size(F.array_intersect(tri, sv)).cast("long")
+    ).withColumn(
+        "en_hits", F.size(F.array_intersect(tri, en)).cast("long")
+    ).drop("text")
+    pred = (
+        F.when(F.col("sv_hits") > F.col("en_hits"), F.lit("sv"))
+        .when(F.col("en_hits") > F.col("sv_hits"), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.withColumn("lang_pred", pred)
+
+
 @q(
     "lang_ngram",
     f"""
@@ -1856,33 +1890,7 @@ def lang_ngram(spark, sf_dir):
     lexicons; argmax with 'unknown' ties. Complements the word-level
     scorer in functions/langid.py — the trigram form survives
     agglutination and OCR-mangled word boundaries."""
-    d = T(spark, sf_dir, "documents")
-    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not an
-    # empty array — an empty text must produce zero trigrams like the
-    # oracle's generate_series does
-    tri = F.when(
-        F.length(t) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: F.substr(t, i, F.lit(3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sv = F.array(*[F.lit(g) for g in _SV_TRI])
-    en = F.array(*[F.lit(g) for g in _EN_TRI])
-    d = d.select(
-        "doc_id",
-        F.size(F.array_intersect(tri, sv)).cast("long").alias("sv_hits"),
-        F.size(F.array_intersect(tri, en)).cast("long").alias("en_hits"),
-    )
-    pred = (
-        F.when(F.col("sv_hits") > F.col("en_hits"), F.lit("sv"))
-        .when(F.col("en_hits") > F.col("sv_hits"), F.lit("en"))
-        .otherwise(F.lit("unknown"))
-    )
-    return d.withColumn("lang_pred", pred)
+    return _trigram_scored(T(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 # ============ batch 4 (round 3): promote pytest-only §2 operators ======
@@ -3582,15 +3590,18 @@ def langid_calibration(spark, sf_dir):
     a quality filter. Composes the lang_ngram scorer (its oracle SQL
     is embedded as a CTE so both engines score identically); accuracy
     is a division of exact longs."""
-    scored = lang_ngram(spark, sf_dir)
-    d = T(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("lang_true"))
+    # one scan: the label rides along through the scorer, so there is
+    # no documents-joined-back-to-documents key shuffle (scale audit r4)
+    scored = _trigram_scored(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", "text", F.col("lang").alias("lang_true")
+        )
+    )
     total = F.col("sv_hits") + F.col("en_hits")
     conf = F.when(
         total > 0, F.greatest("sv_hits", "en_hits").cast("double") / total
     ).otherwise(F.lit(0.5))
-    j = scored.join(d, "doc_id").select(
-        "lang_pred", "lang_true", conf.alias("confidence")
-    )
+    j = scored.select("lang_pred", "lang_true", conf.alias("confidence"))
     bin_ = F.least(F.floor(F.col("confidence") * 10).cast("long"), F.lit(9).cast("long"))
     correct = F.when(F.col("lang_pred") == F.col("lang_true"), 1).otherwise(0)
     return j.groupBy(bin_.alias("conf_bin")).agg(
