@@ -324,3 +324,27 @@ def test_ivf_stored_index_partition_pruning(spark, tmp_path):
         centroids=spark.read.parquet(f"{idx}/centroids"),
     )
     assert [r.asDict() for r in got.collect()] == [r.asDict() for r in inline.collect()]
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The decontamination join must broadcast the tiny eval-gram side —
+    the corpus-sized gram stream must never cross an exchange before
+    the match filter."""
+    plan = _plan(Q.REGISTRY["benchmark_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_new_scan_queries_are_single_pass(spark):
+    """gopher_rules / url_canonical / chunk_windows / langid_calibration
+    are one-scan column pipelines: no joins, and only calibration's
+    final tiny aggregation may exchange."""
+    for name, max_exchanges in [
+        ("gopher_rules", 0), ("url_canonical", 0),
+        ("chunk_windows", 0), ("langid_calibration", 1),
+    ]:
+        plan = _plan(Q.REGISTRY[name](spark, SF))
+        assert "Join" not in plan, (name, plan)
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_ex <= max_exchanges, (name, n_ex)
