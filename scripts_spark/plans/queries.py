@@ -3694,6 +3694,7 @@ _EVAL_PROMPTS = [
     ("e1", "herr talman jag vill tacka utskottet för dess arbete i frågan"),
     ("e2", "the quick brown fox jumps over the lazy dog every single day"),
     ("e3", "detta unika benchmarkstycke förekommer inte i någon korpus alls"),
+    ("e4", "kort prompt"),  # < 8 tokens: yields NO grams in either engine
 ]
 
 
@@ -3760,16 +3761,20 @@ def benchmark_contamination(spark, sf_dir):
     )
 
     def grams(col, out):
+        # only exact 8-token grams, on BOTH sides — the oracle's
+        # len(toks) >= 8 guard, not an accident of current prompt
+        # lengths (review r4: a 3-token prompt would otherwise emit a
+        # truncated gram the oracle never produces)
         toks = _tokens(col)
-        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
-        return (
-            F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, 8), " "))
-            .alias(out)
-        )
+        g = F.when(
+            F.size(toks) >= 8,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 8),
+                lambda s: F.array_join(F.slice(toks, s + 1, 8), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return g.alias(out)
 
-    # docs shorter than 8 tokens yield one truncated gram, which can
-    # never equal an 8-token eval gram — same keep set as the oracle's
-    # explicit len >= 8 guard
     dg = (
         d.select("doc_id", grams(F.col("text"), "g"))
         .filter(F.size("g") > 0)

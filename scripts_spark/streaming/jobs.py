@@ -263,11 +263,15 @@ def running_domain_stats(pages: DataFrame,
              "text_bytes": [nbytes]}
         )
 
-    dom = F.regexp_replace(
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1), r"^www\.", ""
-    )
+    from scripts_spark.sources.pages import domain_of
+
+    # project BEFORE the groupBy exchange: _update reads only lang and
+    # text, and shuffling + Arrow-serializing the html blob per page is
+    # the exact cost the batch pipeline was rewritten to avoid (BENCH.md
+    # round-2 note). domain_of is the shared batch-pipeline key, so the
+    # streaming stats join cleanly against domain-keyed batch outputs.
     return (
-        pages.withColumn("domain", dom)
+        pages.select(domain_of(F.col("url")).alias("domain"), "lang", "text")
         .groupBy("domain")
         .applyInPandasWithState(
             _update, out_schema, state_schema, "update",
