@@ -224,7 +224,7 @@ def run_windowed_counts(spark: SparkSession, input_dir: str, checkpoint_dir: str
 
 
 def running_domain_stats(pages: DataFrame,
-                         idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+                         idle_timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState
     (the engine-native form the task brief names for operators the
     built-in aggregations can't express): per-domain RUNNING totals —
@@ -234,10 +234,16 @@ def running_domain_stats(pages: DataFrame,
 
     Each micro-batch emits one updated row per domain touched in that
     batch (update-mode semantics); state is three longs per domain —
-    bounded by the domain universe, not the stream length — and is
-    dropped after ``idle_timeout_ms`` of processing-time inactivity so an
-    abandoned domain does not pin memory forever. Restart-safe via the
-    query checkpoint like all stateful operators."""
+    bounded by the domain universe, not the stream length. Restart-safe
+    via the query checkpoint like all stateful operators.
+
+    ``idle_timeout_ms`` (continuous streams only): evict a domain's
+    state after that much processing-time inactivity, so an abandoned
+    domain does not pin memory forever. Leave None for availableNow /
+    catch-up runs — a processing-time timeout makes Spark keep the
+    query alive for no-data timeout sweeps, so an availableNow run
+    never self-terminates (measured: a 2-row batch 4.8s with NoTimeout
+    vs awaitTermination-capped minutes with a timeout set)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -257,7 +263,8 @@ def running_domain_stats(pages: DataFrame,
             sv += int((pdf["lang"] == "sv").sum())
             nbytes += int(pdf["text"].fillna("").str.encode("utf-8").str.len().sum())
         state.update((docs, sv, nbytes))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"domain": [domain], "docs_seen": [docs], "sv_docs": [sv],
              "text_bytes": [nbytes]}
@@ -275,7 +282,9 @@ def running_domain_stats(pages: DataFrame,
         .groupBy("domain")
         .applyInPandasWithState(
             _update, out_schema, state_schema, "update",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
