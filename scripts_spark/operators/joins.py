@@ -131,3 +131,55 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     for c in value_cols:
         out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}")
     return out
+
+
+def containment_join_unique_page_indexed(sentences: DataFrame, pages: DataFrame,
+                                         sent_col: str = "sentence",
+                                         page_text: str = "page_text",
+                                         page_id: str = "page") -> DataFrame:
+    """Scale form of containment_join_unique_page: identical output,
+    built as candidate-prune + exact-verify instead of an all-pairs
+    contains() BNLJ (which is quadratic in corpus size — fine for the
+    reference's per-protocol page counts, a scale-killer at 10^12
+    pages).
+
+    Blocking key: any INTERNAL whitespace token of the sentence — if a
+    page contains the sentence as a substring, every internal token is
+    flanked by the sentence's own single spaces, so it also appears as
+    an exact ' '-delimited token of the page text. The longest internal
+    token (ties: lexicographic) is the most selective, and the
+    candidate join is then a plain EQUI-join between that token and the
+    page's exploded distinct token set — shuffle-partitionable, no
+    cross product. contains() then re-verifies each candidate exactly,
+    so false candidates cost only the verify. Sentences with < 3
+    tokens (no internal token) fall back to the broadcast contains()
+    join — broadcastable because such sentences are the rare
+    degenerate tail."""
+    toks = F.filter(F.split(F.col(sent_col), " "), lambda t: t != "")
+    inner = F.slice(toks, 2, F.greatest(F.size(toks) - 2, F.lit(0)))
+    block = F.array_max(
+        F.transform(inner, lambda t: F.struct(F.length(t).alias("l"), t.alias("t")))
+    )["t"]
+    s = sentences.withColumn("_blk", block)
+    s_idx = s.filter(F.col("_blk").isNotNull())
+    s_tail = s.filter(F.col("_blk").isNull()).drop("_blk")
+
+    page_toks = pages.select(
+        page_id, page_text,
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.col(page_text), " "), lambda t: t != ""))
+        ).alias("_blk"),
+    )
+    cand = s_idx.join(page_toks, "_blk").filter(
+        F.col(page_text).contains(F.col(sent_col))
+    ).drop("_blk")
+    tail_hits = s_tail.join(
+        F.broadcast(pages), F.col(page_text).contains(F.col(sent_col))
+    )
+    hits = cand.select(sent_col, page_id).unionByName(
+        tail_hits.select(sent_col, page_id)
+    )
+    arb = hits.groupBy(sent_col).agg(
+        F.count_distinct(page_id).alias("n_pages"), F.min(page_id).alias(page_id)
+    )
+    return arb.filter(F.col("n_pages") == 1).drop("n_pages")

@@ -296,3 +296,36 @@ def test_lsh_bucket_skips_null_and_ragged_vectors(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["vec_id"] for r in similarity.lsh_bucket(emb, dim=4, planes=4).collect()}
     assert got == {1, 4}
+
+
+def test_containment_indexed_matches_bnlj(spark):
+    """The equi-join-blocked containment form must return exactly the
+    BNLJ form's answer, including multi-page drops, absent sentences,
+    short-sentence fallback, and sentences at page edges."""
+    pages = spark.createDataFrame(
+        [
+            ("p1", "inledning här talmannen öppnade sammanträdet idag"),
+            ("p2", "en annan sida där talmannen öppnade sammanträdet idag igen"),
+            ("p3", "kort sida om vårbudgeten"),
+            ("p4", "slutet nämner ordet unikum精 precis en gång"),
+        ],
+        "page string, page_text string",
+    )
+    sents = spark.createDataFrame(
+        [
+            ("s1", "talmannen öppnade sammanträdet"),   # on p1 AND p2 → dropped
+            ("s2", "om vårbudgeten"),                    # 2 tokens → fallback; p3 only
+            ("s3", "ordet unikum精 precis"),             # internal unicode token; p4
+            ("s4", "finns ej någonstans alls"),          # absent → dropped
+            ("s5", "kort sida om vårbudgeten"),          # whole page p3
+        ],
+        "sid string, sentence string",
+    )
+    a = joins.containment_join_unique_page(sents, pages)
+    b = joins.containment_join_unique_page_indexed(sents, pages)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and len(ra) == 3, (ra, rb)
+    # and no cartesian/BNLJ on the indexed main path
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
