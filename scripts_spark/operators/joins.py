@@ -78,19 +78,25 @@ def lookup_with_arbitration(facts: DataFrame, dim: DataFrame, on: str,
     ).drop("_n", "_v")
 
 
+def _unique_page_arb(hits: DataFrame, sent_col: str, page_id: str) -> DataFrame:
+    """J5 arbitration shared by both containment forms: keep sentences
+    found on exactly one distinct page (the reference's early-exit-at-2
+    check has identical semantics)."""
+    arb = hits.groupBy(sent_col).agg(
+        F.count_distinct(page_id).alias("n_pages"), F.min(page_id).alias(page_id)
+    )
+    return arb.filter(F.col("n_pages") == 1).drop("n_pages")
+
+
 def containment_join_unique_page(sentences: DataFrame, pages: DataFrame,
                                  sent_col: str = "sentence",
                                  page_text: str = "page_text",
                                  page_id: str = "page") -> DataFrame:
     """SURVEY J5 (add_modern_pagenumbers.py:102-123): locate sentences
     on pages by substring containment; keep only sentences found on
-    exactly one distinct page (the reference's early-exit-at-2 check
-    has identical semantics)."""
+    exactly one distinct page."""
     hits = sentences.join(pages, F.col(page_text).contains(F.col(sent_col)))
-    arb = hits.groupBy(sent_col).agg(
-        F.count_distinct(page_id).alias("n_pages"), F.min(page_id).alias(page_id)
-    )
-    return arb.filter(F.col("n_pages") == 1).drop("n_pages")
+    return _unique_page_arb(hits, sent_col, page_id)
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,

@@ -404,7 +404,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
              generate_subscripts(embedding,1) AS i
       FROM embeddings)
     SELECT e.vec_id,
-           CAST(SUM(CAST(round(ev*1000) AS BIGINT) * CAST(round(qv*1000) AS BIGINT)) AS BIGINT) AS dot_milli
+           CAST(SUM(CAST(round(CAST(ev AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(qv AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS dot_milli
     FROM e JOIN q USING (i)
     GROUP BY e.vec_id
     ORDER BY dot_milli DESC, vec_id
@@ -428,8 +428,8 @@ def ann_topk(spark, sf_dir):
         .groupBy("vec_id")
         .agg(
             F.sum(
-                F.round(F.col("ev") * 1000).cast("long")
-                * F.round(F.col("qv") * 1000).cast("long")
+                F.round(F.col("ev").cast("double") * 1000).cast("long")
+                * F.round(F.col("qv").cast("double") * 1000).cast("long")
             ).alias("dot_milli")
         )
         .orderBy(F.desc("dot_milli"), "vec_id")
@@ -1128,7 +1128,7 @@ def weighted_sample(spark, sf_dir):
     """
     WITH qv AS (
       SELECT vec_id, generate_subscripts(embedding,1) AS i,
-             CAST(round(unnest(embedding)*1000) AS BIGINT) AS q
+             CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS q
       FROM embeddings),
     norms AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
     dots AS (
@@ -1768,7 +1768,7 @@ def running_attribution_q(spark, sf_dir):
     "ivf_assign",
     """
     WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS q
+      SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
       FROM embeddings),
     c AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -2590,7 +2590,7 @@ _RP_DIMS = 4
     f"""
     WITH q AS (
       SELECT vec_id, i - 1 AS i,
-             CAST(round(e * 1000) AS BIGINT) AS q
+             CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS q
       FROM (SELECT vec_id, unnest(embedding) AS e,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings))
@@ -2616,7 +2616,7 @@ def random_projection(spark, sf_dir):
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     ).select(
-        "vec_id", "i", F.round(F.col("v") * 1000).cast("long").alias("q")
+        "vec_id", "i", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
     )
     aggs = []
     for j in range(_RP_DIMS):

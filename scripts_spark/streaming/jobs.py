@@ -14,7 +14,8 @@ here serves two engine-native purposes:
    streaming twin of the `tumbling_window` batch query.
 3. custom stateful operators via applyInPandasWithState
    (running_domain_stats): explicit per-key GroupState carried across
-   micro-batches with a processing-time idle timeout.
+   micro-batches; idle-timeout state eviction is opt-in for continuous
+   streams (availableNow runs never terminate with a timeout set).
 """
 
 from __future__ import annotations
