@@ -113,12 +113,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     partition sort both sides already need for any time ordering. Right
     rows order BEFORE left rows at equal timestamps (<= semantics).
 
-    Determinism: when the right side has several rows at the same
-    (key, ts), the window order tie-breaks on the value columns
-    themselves (ascending), so the carried value is always the tuple-MAX
-    of the tied rows — stable under any partitioning / run, instead of
-    whichever row the shuffle happened to emit last. (ignorenulls skips
-    null values, so engines that sort NULLS FIRST vs NULLS LAST agree.)"""
+    Determinism + atomicity: the carried values travel as ONE struct of
+    all value columns, so ties and NULLs can never mix fields from
+    different right rows — the carried tuple is always exactly one
+    right row (the tuple-MAX of rows tied on (key, ts), since the
+    window order tie-breaks on the struct itself and last() then picks
+    the greatest). Per-column last(ignorenulls) would instead
+    synthesize a row on NULL-containing ties, e.g. tied rows (1, 7)
+    and (2, NULL) carrying (2, 7) — a tuple in neither row."""
     l = left.withColumn("_is_left", F.lit(1))
     r = (
         right.select(
@@ -126,17 +128,25 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         ).withColumn("_is_left", F.lit(0))
     )
     m = l.unionByName(r, allowMissingColumns=True)
+    # non-null only on right rows: ignorenulls skips left rows entirely,
+    # and a right row with NULL values still carries (as itself, atomically)
+    m = m.withColumn(
+        "_r_row",
+        F.when(
+            F.col("_is_left") == 0,
+            F.struct(*[F.col(f"_r_{c}").alias(c) for c in value_cols]),
+        ),
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_is_left", *[f"_r_{c}" for c in value_cols])
+        .orderBy(ts, "_is_left", "_r_row")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    m = m.withColumn("_r_row", F.last("_r_row", ignorenulls=True).over(w))
+    out = m.filter(F.col("_is_left") == 1).drop("_is_left", *[f"_r_{c}" for c in value_cols])
     for c in value_cols:
-        m = m.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    out = m.filter(F.col("_is_left") == 1).drop("_is_left")
-    for c in value_cols:
-        out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}")
-    return out
+        out = out.withColumn(f"{c}{suffix}", F.col("_r_row")[c])
+    return out.drop("_r_row")
 
 
 def containment_join_unique_page_indexed(sentences: DataFrame, pages: DataFrame,
@@ -179,13 +189,14 @@ def containment_join_unique_page_indexed(sentences: DataFrame, pages: DataFrame,
     cand = s_idx.join(page_toks, "_blk").filter(
         F.col(page_text).contains(F.col(sent_col))
     ).drop("_blk")
-    tail_hits = s_tail.join(
-        F.broadcast(pages), F.col(page_text).contains(F.col(sent_col))
+    # broadcast the TAIL (the rare <3-token sentences), not the page
+    # corpus — pages is the side the main path exists to avoid
+    # materializing; hinting it for broadcast would OOM the driver at
+    # scale and defeat the operator's purpose
+    tail_hits = F.broadcast(s_tail).join(
+        pages, F.col(page_text).contains(F.col(sent_col))
     )
     hits = cand.select(sent_col, page_id).unionByName(
         tail_hits.select(sent_col, page_id)
     )
-    arb = hits.groupBy(sent_col).agg(
-        F.count_distinct(page_id).alias("n_pages"), F.min(page_id).alias(page_id)
-    )
-    return arb.filter(F.col("n_pages") == 1).drop("n_pages")
+    return _unique_page_arb(hits, sent_col, page_id)

@@ -47,7 +47,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   max_files_per_trigger: int | None = None,
                   dedup_urls_across_batches: bool = False,
                   dedup_watermark: str = "30 days",
-                  boiler_state_dir: str | None = None):
+                  boiler_state_dir: str | None = None,
+                  boiler_compact_every: int | None = 16):
     """File-source stream → batch curate per micro-batch → manifest
     commit. Returns the started StreamingQuery.
 
@@ -87,7 +88,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
             # per micro-batch)
             docs = deduped_docs(batch_df, cfg).persist()
             boiler, evidence = _merged_boiler(
-                spark, docs, batch_id, boiler_state_dir, cfg
+                spark, docs, batch_id, boiler_state_dir, cfg,
+                compact_every=boiler_compact_every,
             )
         try:
             dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs)
@@ -122,8 +124,86 @@ def _line_hashes(df: DataFrame) -> DataFrame:
     )
 
 
+def _compacted_through(state_dir: str) -> int:
+    """Compaction watermark: the largest batch_id whose evidence has
+    been folded into the compacted snapshot (-1 = no snapshot yet).
+    A single marker file updated by atomic rename — the read path
+    trusts ONLY this marker, so a crash at any point of a compaction
+    leaves stale files that are simply ignored (and GC'd by the next
+    compaction), never double-counted."""
+    import os
+
+    p = f"{state_dir}/COMPACTED_THROUGH"
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _advance_watermark(state_dir: str, batch_id: int) -> None:
+    import os
+
+    tmp = f"{state_dir}/COMPACTED_THROUGH.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, f"{state_dir}/COMPACTED_THROUGH")
+
+
+def _gc_folded(state_dir: str, sub: str, through: int) -> None:
+    """Best-effort removal of evidence partitions already folded into
+    the snapshot at ``through`` and of superseded snapshots. Failing
+    here is harmless — the read path filters them out by the marker —
+    so errors are swallowed (at crawl scale these are object-store
+    deletes behind the manifest catalog, same semantics)."""
+    import os
+    import shutil
+
+    base = f"{state_dir}/{sub}"
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.startswith("batch_id=") and int(d.split("=")[1]) <= through:
+                shutil.rmtree(f"{base}/{d}", ignore_errors=True)
+    cbase = f"{state_dir}/{sub}_compacted"
+    if os.path.isdir(cbase):
+        for d in os.listdir(cbase):
+            if d.startswith("through=") and int(d.split("=")[1]) < through:
+                shutil.rmtree(f"{cbase}/{d}", ignore_errors=True)
+
+
+def _has_batch_partitions(state_dir: str, sub: str) -> bool:
+    import os
+
+    base = f"{state_dir}/{sub}"
+    return os.path.isdir(base) and any(
+        d.startswith("batch_id=") for d in os.listdir(base)
+    )
+
+
+def _live_state(spark: SparkSession, state_dir: str, sub: str, through: int,
+                cols: list[str], schema: str) -> DataFrame:
+    """The live evidence view: compacted snapshot (if any) + per-batch
+    partitions NEWER than the watermark. Partitions <= the watermark are
+    excluded even if GC hasn't removed them yet — their contents are
+    already inside the snapshot. The tail can be legitimately empty
+    (a replayed already-folded batch right after GC), hence the
+    explicit-schema empty frame instead of a failing schema inference."""
+    if _has_batch_partitions(state_dir, sub):
+        tail = spark.read.parquet(f"{state_dir}/{sub}").filter(
+            F.col("batch_id") > through
+        ).select(*cols)
+    else:
+        tail = spark.createDataFrame([], schema)
+    if through < 0:
+        return tail
+    snap = spark.read.parquet(
+        f"{state_dir}/{sub}_compacted/through={through}"
+    ).select(*cols)
+    return tail.unionByName(snap)
+
+
 def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
-                   state_dir: str, cfg: CurateConfig) -> DataFrame:
+                   state_dir: str, cfg: CurateConfig,
+                   compact_every: int | None = None) -> DataFrame:
     """Append this batch's boilerplate evidence to the state table,
     then return boiler sets derived from ALL batches' merged counts.
 
@@ -148,40 +228,80 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
     because TWO actions consume it — the state write here, and the
     lazy confirm join when curate runs the strip — and without the
     persist the batch's explode+groupBy aggregation would execute
-    twice per micro-batch. The caller unpersists it after commit."""
+    twice per micro-batch. The caller unpersists it after commit.
+
+    ``compact_every`` bounds state growth: without it every micro-batch
+    re-reads ALL ``batch_id=`` partitions and re-aggregates from
+    scratch — after 10^4 micro-batches that is 10^4 small files and a
+    full re-agg per trigger. Every ``compact_every`` batches the merged
+    (domain, h1, h2) → count table is rewritten as one snapshot
+    (``lines_compacted/through=<b>``), the watermark marker advances by
+    atomic rename, and the folded per-batch partitions are dropped; the
+    per-trigger read is then one snapshot + at most ``compact_every``
+    tail partitions. Replay stays idempotent across the horizon: a
+    replayed batch <= the watermark skips its (already-folded) state
+    write entirely — a strict no-op — while a replayed tail batch
+    dynamic-overwrites its own partition as before. A crash mid-
+    compaction leaves a half-written snapshot the marker never points
+    to; the read path ignores it and the next compaction overwrites it."""
+    if _has_batch_partitions(state_dir, "lines"):
+        legacy = spark.read.parquet(f"{state_dir}/lines")
+        if "para" in legacy.columns or "h1" not in legacy.columns:
+            raise ValueError(
+                "boiler state format changed (found legacy string-keyed "
+                f"schema {legacy.columns} in {state_dir}/lines); clear the "
+                "state_dir or migrate it to (domain, h1, h2, line_docs)"
+            )
+    through = _compacted_through(state_dir)
     line_docs, dom_docs = boiler_line_evidence(docs, cfg)
     line_docs = line_docs.persist()
-    (
-        _line_hashes(line_docs)
-        .select("domain", "h1", "h2", "line_docs")
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{state_dir}/lines")
-    )
-    (
-        dom_docs.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{state_dir}/domains")
-    )
-    cand = (
-        spark.read.parquet(f"{state_dir}/lines")
-        .groupBy("domain", "h1", "h2")
-        .agg(F.sum("line_docs").alias("line_docs"))
-        .filter(F.col("line_docs") > cfg.boiler_min_docs)
-    )
+    if batch_id > through:
+        (
+            _line_hashes(line_docs)
+            .select("domain", "h1", "h2", "line_docs")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{state_dir}/lines")
+        )
+        (
+            dom_docs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{state_dir}/domains")
+        )
+    merged_lines = _live_state(
+        spark, state_dir, "lines", through, ["domain", "h1", "h2", "line_docs"],
+        "domain string, h1 long, h2 long, line_docs long",
+    ).groupBy("domain", "h1", "h2").agg(F.sum("line_docs").alias("line_docs"))
+    merged_doms = _live_state(
+        spark, state_dir, "domains", through, ["domain", "domain_docs"],
+        "domain string, domain_docs long",
+    ).groupBy("domain").agg(F.sum("domain_docs").alias("domain_docs"))
+    if compact_every and batch_id - through >= compact_every:
+        merged_lines.write.mode("overwrite").parquet(
+            f"{state_dir}/lines_compacted/through={batch_id}"
+        )
+        merged_doms.write.mode("overwrite").parquet(
+            f"{state_dir}/domains_compacted/through={batch_id}"
+        )
+        _advance_watermark(state_dir, batch_id)
+        _gc_folded(state_dir, "lines", batch_id)
+        _gc_folded(state_dir, "domains", batch_id)
+        through = batch_id
+        merged_lines = spark.read.parquet(
+            f"{state_dir}/lines_compacted/through={through}"
+        )
+        merged_doms = spark.read.parquet(
+            f"{state_dir}/domains_compacted/through={through}"
+        )
+    cand = merged_lines.filter(F.col("line_docs") > cfg.boiler_min_docs)
     confirmed = (
         _line_hashes(line_docs.select("domain", "para"))
         .join(F.broadcast(cand), ["domain", "h1", "h2"])
         .select("domain", "para", "line_docs")
-    )
-    merged_doms = (
-        spark.read.parquet(f"{state_dir}/domains")
-        .groupBy("domain")
-        .agg(F.sum("domain_docs").alias("domain_docs"))
     )
     return boiler_sets_from_counts(confirmed, merged_doms, cfg), line_docs
 

@@ -389,6 +389,105 @@ def test_boiler_state_replay_idempotent(spark, tmpdirs):
     assert first[("rep.example.com", h1, h2)] == 3
 
 
+def test_boiler_state_compaction_bounds_files(spark, tmpdirs):
+    """With compact_every=K the state table must stay bounded across
+    >= 3K micro-batches — at most K-1 tail ``batch_id=`` partitions plus
+    one compacted snapshot — while merged counts stay EXACT (equal to
+    the sum over all batches), and a replay of a batch older than the
+    compaction horizon must be a strict no-op."""
+    import datetime
+    import os
+
+    _, _, _, state = tmpdirs
+    state_dir = state + "/compboil"
+    cfg = CurateConfig(num_buckets=2, boiler_min_docs=1)
+    from scripts_spark.plans.pipeline import deduped_docs
+    from scripts_spark.streaming.jobs import _compacted_through, _merged_boiler
+
+    K = 3
+
+    def run(bid):
+        rows = [
+            (f"https://cmp.example.com/b{bid}p{j}", datetime.datetime(2020, 1, 1),
+             None, "gemensam nav-rad\nunik text " + str(bid * 10 + j), "sv")
+            for j in range(2)
+        ]
+        docs = deduped_docs(spark.createDataFrame(rows, PAGES_SCHEMA), cfg)
+        _, ld = _merged_boiler(spark, docs, bid, state_dir, cfg, compact_every=K)
+        ld.unpersist()
+
+    n_batches = 3 * K + 1
+    for bid in range(n_batches):
+        run(bid)
+        tails = [d for d in os.listdir(f"{state_dir}/lines") if d.startswith("batch_id=")]
+        assert len(tails) <= K, (bid, tails)
+        snaps = (
+            os.listdir(f"{state_dir}/lines_compacted")
+            if os.path.isdir(f"{state_dir}/lines_compacted")
+            else []
+        )
+        assert len(snaps) <= 1, (bid, snaps)
+
+    def merged():
+        from scripts_spark.streaming.jobs import _live_state
+
+        W = _compacted_through(state_dir)
+        return {
+            (r["domain"], r["h1"], r["h2"]): r["line_docs"]
+            for r in _live_state(
+                spark, state_dir, "lines", W,
+                ["domain", "h1", "h2", "line_docs"],
+                "domain string, h1 long, h2 long, line_docs long",
+            ).groupBy("domain", "h1", "h2").agg(F.sum("line_docs").alias("line_docs"))
+            .collect()
+        }
+
+    h1, h2 = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit("gemensam nav-rad")),
+            F.xxhash64(F.lit("boiler-h2"), F.lit("gemensam nav-rad")),
+        )
+        .first()
+    )
+    first = merged()
+    # exact: the shared nav line appeared in 2 docs in every batch
+    assert first[("cmp.example.com", h1, h2)] == 2 * n_batches
+    # replay a batch OLDER than the compaction horizon: strict no-op
+    W = _compacted_through(state_dir)
+    assert W >= 0
+    run(0)
+    assert merged() == first
+    assert _compacted_through(state_dir) == W
+
+
+def test_boiler_state_legacy_schema_fails_fast(spark, tmpdirs):
+    """A state_dir written by the pre-hash-keyed format (string 'para'
+    column) must raise a clear error instead of failing inside the
+    merge groupBy with missing h1/h2 columns."""
+    import datetime
+
+    _, _, _, state = tmpdirs
+    state_dir = state + "/legacyboil"
+    cfg = CurateConfig(num_buckets=2, boiler_min_docs=1)
+    (
+        spark.createDataFrame(
+            [("old.example.com", "gammal rad", 3, 0)],
+            "domain string, para string, line_docs long, batch_id int",
+        )
+        .write.partitionBy("batch_id")
+        .parquet(f"{state_dir}/lines")
+    )
+    from scripts_spark.plans.pipeline import deduped_docs
+    from scripts_spark.streaming.jobs import _merged_boiler
+
+    rows = [("https://old.example.com/p", datetime.datetime(2020, 1, 1), None,
+             "text", "sv")]
+    docs = deduped_docs(spark.createDataFrame(rows, PAGES_SCHEMA), cfg)
+    with pytest.raises(ValueError, match="state format changed"):
+        _merged_boiler(spark, docs, 1, state_dir, cfg)
+
+
 def test_running_domain_stats_stateful(spark, tmpdirs):
     """applyInPandasWithState carries per-domain running totals ACROSS
     micro-batches: with one file per trigger, the second batch's
