@@ -22,40 +22,40 @@ def interval_join(facts: DataFrame, dim: DataFrame, point: Column,
 
 def fuzzy_match_cascade(facts: DataFrame, dim: DataFrame, fact_key: str,
                         stages: list[tuple[str, Column]]) -> DataFrame:
-    """Staged matching with priority arbitration (SURVEY J3 —
+    """Staged matching with first-hit semantics (SURVEY J3 —
     fuzzy_matching.py:75-103 tries 7 matchers in order and keeps the
-    first hit). Each stage is (name, join_condition); all stages run
-    as joins, then row_number over (fact_key, priority) keeps the
-    best-priority match. Unmatched facts survive with match_stage null.
+    first hit). Each stage is (name, join_condition); stage k+1 joins
+    ONLY the left_anti residue of stages <= k, so the reference's
+    per-row short-circuit economics carry over set-at-a-time: when the
+    cheap exact equi-join resolves 95% of facts, the expensive fuzzy
+    stages (levenshtein theta-joins against the broadcast dim) scan
+    only the unmatched 5% tail, not the full 10^12-row fact table.
+    Unmatched facts survive with match_stage null.
 
-    This trades the reference's short-circuit loop for set-at-a-time
-    execution: every stage is a broadcast join over the full fact
-    table, and arbitration is one window — at 10^12 rows this is far
-    cheaper than per-row Python, and AQE prunes empty stages."""
-    matched = None
-    for prio, (name, cond) in enumerate(stages):
-        m = (
-            facts.join(F.broadcast(dim), cond, "inner")
-            .withColumn("match_stage", F.lit(name))
-            .withColumn("match_priority", F.lit(prio))
+    Within a stage, a fact matching several dim rows keeps a
+    deterministic one: row_number ordered by every dim-side column
+    (sorted by name). Results are identical to running ALL stages over
+    ALL facts and arbitrating on (priority, dim cols) — a fact matched
+    at stage k is by construction absent from every later stage —
+    which the equivalence test pins."""
+    dim_cols = sorted(set(dim.columns) - set(facts.columns))
+    remaining = facts
+    best = None
+    for name, cond in stages:
+        m = remaining.join(F.broadcast(dim), cond, "inner").withColumn(
+            "match_stage", F.lit(name)
         )
-        matched = m if matched is None else matched.unionByName(m)
-    # deterministic arbitration: priority first, then every dim-side
-    # column (sorted by name) as tie-break — a fact matching two dim
-    # rows at the same best priority always keeps the same one
-    dim_cols = sorted(
-        c for c in matched.columns
-        if c not in set(facts.columns) and c not in ("match_stage", "match_priority")
-    )
-    w = Window.partitionBy(fact_key).orderBy("match_priority", *dim_cols)
-    best = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "match_priority")
-    )
-    missing = facts.join(best.select(fact_key), fact_key, "left_anti").withColumn(
-        "match_stage", F.lit(None).cast("string")
-    )
+        w = Window.partitionBy(fact_key).orderBy(*dim_cols)
+        stage_best = (
+            m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        best = stage_best if best is None else best.unionByName(stage_best)
+        remaining = remaining.join(
+            stage_best.select(fact_key), fact_key, "left_anti"
+        )
+    missing = remaining.withColumn("match_stage", F.lit(None).cast("string"))
     for c in best.columns:
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None))

@@ -196,6 +196,114 @@ def pairwise_topk(emb: DataFrame, k: int = 5, key: str = "vec_id",
     return pairs.withColumn("rn", F.row_number().over(w_k)).filter(F.col("rn") <= k).drop("rn")
 
 
+def md5_sign_matrix(dim: int, planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix as plain Python ints, derived
+    from md5("plane:<p>:<ctr>") bit streams. Same role as plane_matrix
+    (blake2b/numpy) but md5-derived and literal-valued so BOTH engines
+    of an oracle pair can share the exact constant — the bucketed
+    near-pair query embeds these signs in the Spark plan and in the
+    generated DuckDB SQL."""
+    import hashlib
+
+    rows: list[list[int]] = []
+    for p in range(planes):
+        bits: list[int] = []
+        counter = 0
+        while len(bits) < dim:
+            h = hashlib.md5(b"plane:%d:%d" % (p, counter)).digest()
+            for byte in h:
+                for b in range(8):
+                    bits.append(1 if (byte >> b) & 1 else -1)
+            counter += 1
+        rows.append(bits[:dim])
+    return rows
+
+
+def banded_near_pairs(emb: DataFrame, bands: int = 8, band_planes: int = 3,
+                      key: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None,
+                      thr_num: int = 81, thr_den: int = 400) -> DataFrame:
+    """Embedding near-dup pairs via BANDED hyperplane LSH — the
+    scale-safe twin of the brute-force pair join (plans/queries.
+    embedding_near_pairs): pairs are enumerated ONLY inside matching
+    (band, bucket) groups, an equi-join, never an unbounded theta join.
+
+    Shape (mirrors pairwise_topk, plus MinHash-style OR-amplification):
+    1. milli-quantize each vector once; n2 = |q|² (exact longs);
+    2. ``bands`` × ``band_planes`` sign-bit projections against the
+       md5-derived ±1 planes — pure JVM array folds over the quantized
+       vector, exact integers, zero Python;
+    3. one posexplode to (key, band, bucket) — ONLY the 8-byte bucket
+       travels per band, not the vector;
+    4. band-bucket self equi-join → distinct candidate pairs
+       (OR across bands recovers the recall a single AND-bucket loses
+       at moderate thresholds);
+    5. verify: join the two quantized vectors back and keep pairs with
+       thr_den·dot² ≥ thr_num·n2a·n2b (defaults: cos ≥ √(81/400) =
+       0.45), dot > 0.
+
+    At 10^12 docs the candidate set is bounded by bucket occupancy
+    (size band_planes against corpus growth — planes_for gives the
+    sizing rule); the verify joins are hash-partitioned equi-joins on
+    pair keys. Every step is engine-portable integer math, so the
+    DuckDB oracle reproduces it bit-exactly."""
+    if dim is None:
+        dim = emb.select(F.size(vec_col)).first()[0]
+    signs = md5_sign_matrix(dim, bands * band_planes)
+    zero = F.lit(0).cast("long")
+    clean = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    t = clean.select(F.col(key), _quantized(F.col(vec_col)).alias("_q"))
+    t = t.withColumn(
+        "_n2", F.aggregate(F.col("_q"), zero, lambda acc, v: acc + v * v)
+    )
+
+    def proj(p: int):
+        s = F.array(*[F.lit(x).cast("long") for x in signs[p]])
+        return F.aggregate(
+            F.zip_with(F.col("_q"), s, lambda qv, w: qv * w),
+            zero,
+            lambda acc, v: acc + v,
+        )
+
+    bucket_exprs = []
+    for b in range(bands):
+        expr = zero
+        for j in range(band_planes):
+            expr = expr + F.when(
+                proj(b * band_planes + j) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(zero)
+        bucket_exprs.append(expr)
+    bkt = t.select(key, F.posexplode(F.array(*bucket_exprs)).alias("band", "bucket"))
+    a, c = bkt.alias("a"), bkt.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"))
+        .distinct()
+    )
+    va = t.select(
+        F.col(key).alias("key_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("n2_a")
+    )
+    vb = t.select(
+        F.col(key).alias("key_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("n2_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    pairs = cand.join(va, "key_a").join(vb, "key_b").withColumn("dot", dot)
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (thr_den * F.col("dot") * F.col("dot")
+           >= thr_num * F.col("n2_a") * F.col("n2_b"))
+    ).select("key_a", "key_b", "dot", "n2_a", "n2_b")
+
+
 # ----------------------------------------------------------- IVF ANN
 def ivf_centroids(emb: DataFrame, n_lists: int = 16, key: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:

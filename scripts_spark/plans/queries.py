@@ -1178,6 +1178,87 @@ def embedding_near_pairs(spark, sf_dir):
     )
 
 
+def _banded_near_sql(dim: int = 64, bands: int = 8, band_planes: int = 3) -> str:
+    """DuckDB twin of similarity.banded_near_pairs: the SAME md5-derived
+    ±1 planes (shared Python constant), each projection computed as
+    sum(q at +1 positions) − sum(q at −1 positions) via 1-based
+    list_select — exact BIGINT math end to end, so the bucket bits and
+    the verify are bit-identical to the Spark plan."""
+    from scripts_spark.operators.similarity import md5_sign_matrix
+
+    signs = md5_sign_matrix(dim, bands * band_planes)
+    band_selects = []
+    for b in range(bands):
+        terms = []
+        for j in range(band_planes):
+            p = signs[b * band_planes + j]
+            pos = [i + 1 for i, s in enumerate(p) if s == 1]
+            neg = [i + 1 for i, s in enumerate(p) if s == -1]
+            proj = (
+                f"(COALESCE(CAST(list_sum(list_select(q, {pos})) AS BIGINT), 0)"
+                f" - COALESCE(CAST(list_sum(list_select(q, {neg})) AS BIGINT), 0))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, q, n2, {b} AS band, {' + '.join(terms)} AS bucket FROM t"
+        )
+    union = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+    t AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+      FROM qv),
+    bk AS ({union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    el AS (SELECT vec_id, generate_subscripts(q,1) AS i, unnest(q) AS qe FROM t),
+    dots AS (
+      SELECT c.vec_a, c.vec_b, CAST(SUM(a.qe*b.qe) AS BIGINT) AS dot
+      FROM cand c
+      JOIN el a ON a.vec_id = c.vec_a
+      JOIN el b ON b.vec_id = c.vec_b AND b.i = a.i
+      GROUP BY c.vec_a, c.vec_b)
+    SELECT d.vec_a, d.vec_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+    FROM dots d JOIN t na ON na.vec_id = d.vec_a
+                JOIN t nb ON nb.vec_id = d.vec_b
+    WHERE d.dot > 0 AND 400*d.dot*d.dot >= 81*na.n2*nb.n2
+    """
+
+
+@q("bucketed_near_pairs", _banded_near_sql())
+def bucketed_near_pairs(spark, sf_dir):
+    """The SCALE path for embedding near-dup pairs, value-oracle'd:
+    similarity.banded_near_pairs — banded hyperplane-LSH candidate
+    generation (8 bands × 3 md5-derived ±1 planes, pure JVM integer
+    folds, one posexplode of 8-byte band buckets) → band-bucket EQUI
+    self-join → distinct pairs → quantized-integer dot verify at the
+    same cos ≥ 0.45 threshold as embedding_near_pairs. Unlike that
+    brute-force baseline (an O(n²) vec_id theta join, kept as the exact
+    reference), this plan contains no unbounded pair join — candidate
+    cost tracks bucket occupancy, which band_planes bounds as the
+    corpus grows (similarity.planes_for). Plan pinned no-cartesian in
+    tests/test_plans.py."""
+    from scripts_spark.operators import similarity as S
+
+    e = T(spark, sf_dir, "embeddings")
+    out = S.banded_near_pairs(e, bands=8, band_planes=3, dim=64)
+    return out.select(
+        F.col("key_a").alias("vec_a"),
+        F.col("key_b").alias("vec_b"),
+        "dot",
+        "n2_a",
+        "n2_b",
+    )
+
+
 @q(
     "kwic_context",
     """
@@ -2355,8 +2436,10 @@ def fuzzy_cascade(spark, sf_dir):
     (fuzzy_matching.py:75-103) as set-at-a-time staged joins with
     priority arbitration (joins.fuzzy_match_cascade): exact → lowercase
     → levenshtein≤1; first-hit-wins per fact, unmatched facts survive
-    with null stage. Every stage is a broadcast join over the full fact
-    table — no per-row Python at any scale."""
+    with null stage. Each stage joins the broadcast dim against ONLY
+    the left_anti residue of earlier stages, so the expensive fuzzy
+    stages scan the unmatched tail, not the full fact table — no
+    per-row Python at any scale."""
     facts = spark.createDataFrame(_FM_FACTS, "fact_id long, name string")
     dim = spark.createDataFrame(_FM_DIM, "target string")
     stages = [
@@ -3390,17 +3473,32 @@ def pdf_page_locate(spark, sf_dir):
 # keeps its relative registration order after the window and remains
 # value-checked by the local parity suite (tests/test_queries.py runs
 # ALL registered pairs, not just these).
+# Round-5 rotation: the driver checks only the first 50 registered
+# queries, so slots rotate each round to accumulate driver evidence
+# for the long tail. Promoted this round (all green in the local
+# driver-faithful parity suite): bucketed_near_pairs (NEW — the
+# scale-safe near-dup plan, r4 verdict directive #1), exact_dedup,
+# merge_runs, running_cursor, pdf_page_locate, gopher_rules,
+# benchmark_contamination, session_windows, cube_order_totals,
+# props_nonempty_share, duplicate_id_audit. Demoted (each driver-green
+# in at least rounds 3 AND 4, family still represented):
+# sessionize (→ session_windows covers W1), first_last_order,
+# top_events_per_user, find_toc_status, mode_event_type,
+# distinct_users, semver_sort, stratified_sample (weighted_sample
+# keeps R1), kwic_occurrences, role_gender, json_extract.
 DRIVER_WINDOW = [
     # flagship quality-filter / scoring path
     "quality_filter", "lang_mismatch", "doc_scoring", "boiler_headers",
-    # dedup family (exact, groups, MinHash-LSH, n-gram, SimHash)
-    "dedup_unique_only", "dedup_groups", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash_pairs",
-    # similarity / embeddings (brute force, LSH pairs, IVF, JL projection)
-    "embedding_near_pairs", "ann_topk", "ivf_assign", "random_projection",
-    "doc_fingerprint",
+    "gopher_rules", "benchmark_contamination",
+    # dedup family (exact, unique-only, groups, MinHash-LSH, n-gram, SimHash)
+    "exact_dedup", "dedup_unique_only", "dedup_groups", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_pairs", "duplicate_id_audit",
+    # similarity / embeddings (brute force, banded-LSH scale path, IVF,
+    # JL projection, fingerprints)
+    "embedding_near_pairs", "bucketed_near_pairs", "ann_topk", "ivf_assign",
+    "random_projection", "doc_fingerprint",
     # aggregations
-    "pricing_summary", "wordfreq", "doc_stats",
+    "pricing_summary", "wordfreq", "doc_stats", "props_nonempty_share",
     # joins (broadcast, anti, semi, arbitration, interval, cascade,
     # containment, as-of, gold-label, map lookup)
     "revenue_by_nation", "customers_no_orders", "parts_semi",
@@ -3408,19 +3506,16 @@ DRIVER_WINDOW = [
     "containment_pages", "asof_join_purchases", "gold_decade_rollup",
     "intro_join",
     # windows / sessions / document lifecycle
-    "sessionize", "section_lifecycle", "first_last_order",
-    "top_events_per_user", "find_toc_status",
-    # scalar agg families (mode, ratio, tolerance, extrema, distinct)
-    "mode_event_type", "orders_ratio", "coverage_tolerance",
-    "extrema_by_nation", "distinct_users",
+    "session_windows", "section_lifecycle", "merge_runs", "running_cursor",
+    # scalar agg families (ratio, tolerance, extrema)
+    "orders_ratio", "coverage_tolerance", "extrema_by_nation",
     # rollups and orderings
-    "rollup_order_totals", "metrics_rollup", "semver_sort",
-    # projections / predicates / kernels
+    "rollup_order_totals", "cube_order_totals", "metrics_rollup",
+    # projections / predicates / kernels / sources
     "predicate_filters", "token_positions", "normalize_ws",
-    "uuid_ordinal_sort", "kwic_occurrences", "role_gender",
-    # model eval, sampling, sources
-    "confusion_matrix", "stratified_sample", "weighted_sample",
-    "json_extract",
+    "uuid_ordinal_sort", "pdf_page_locate",
+    # model eval, sampling
+    "confusion_matrix", "weighted_sample",
 ]
 
 
@@ -3435,7 +3530,8 @@ def _curate_order() -> None:
         d.update(ordered)
 
 
-_curate_order()
+# _curate_order() is invoked at the BOTTOM of this module so that
+# queries registered below (batch 6+) are eligible for DRIVER_WINDOW.
 
 
 # ============ batch 6 (round 4): training-data pipeline extras =========
@@ -3794,3 +3890,6 @@ def benchmark_contamination(spark, sf_dir):
         .groupBy("doc_id", "eval_id")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+
+
+_curate_order()

@@ -170,10 +170,17 @@ def test_simhash_pairs_no_cartesian(spark):
 
 def test_fuzzy_cascade_broadcasts_dim(spark):
     """Every cascade stage joins the fact table against a BROADCAST
-    dimension — no shuffle of the fact side per stage."""
+    dimension — no shuffle of the fact side per stage — and stage k+1's
+    input is the LEFT-ANTI residue of earlier stages, not the full fact
+    table (the reference short-circuits per row; the set-at-a-time form
+    must short-circuit per stage, so the expensive levenshtein stage
+    scans only the unmatched tail)."""
     plan = _plan(Q.REGISTRY["fuzzy_cascade"](spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # 3 stages → stage 2 and 3 each fed through a residue anti-join,
+    # plus the final unmatched-facts anti-join
+    assert plan.count("LeftAnti") >= 2, plan
 
 
 def test_interval_join_is_broadcast_nlj(spark):
@@ -279,6 +286,22 @@ def test_lsh_bucket_zero_shuffle(spark):
     # its only exchanges belong to the final semi-join / top-k
     q = similarity.ann_topk_lsh(emb, [0.1] * dim, k=5, planes=8)
     assert "Generate" not in _plan(q)
+
+
+def test_bucketed_near_pairs_no_unbounded_pair_join(spark):
+    """The oracle'd scale path for embedding near-dup pairs must
+    enumerate pairs ONLY through the band-bucket equi self-join — no
+    nested-loop / cartesian anywhere in the plan (the brute-force
+    embedding_near_pairs baseline is exactly such a theta join; this
+    query exists so the driver-checked plan is the bounded one)."""
+    df = Q.REGISTRY["bucketed_near_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "NestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # and the bucket computation itself is pure JVM expression work:
+    # no Python workers anywhere in this query
+    assert "Python" not in plan, plan
 
 
 def test_ivf_stored_index_partition_pruning(spark, tmp_path):

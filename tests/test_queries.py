@@ -123,6 +123,9 @@ def test_driver_window_covers_critical_operators():
         "asof_join_purchases", "gold_decade_rollup", "section_lifecycle",
         "rollup_order_totals", "metrics_rollup", "normalize_ws",
         "uuid_ordinal_sort",
+        # round 5: the scale-safe near-dup plan + LLM-pipeline rules
+        "bucketed_near_pairs", "gopher_rules", "benchmark_contamination",
+        "exact_dedup",
     }
     assert critical <= set(first50)
     # every window slot must be value-checkable (has an oracle)
