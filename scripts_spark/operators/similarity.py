@@ -473,6 +473,34 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_lists: int = 16,
     return cents
 
 
+def append_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str,
+                     key: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Incremental IVF maintenance: instead of rebuilding the whole
+    partitioned store for every new crawl drop, assign ONLY the vectors
+    not already indexed — a left_anti join of the input against the
+    store's key column (a column-pruned parquet scan: nothing but the
+    8-byte keys is read) — against the EXISTING centroid table, and
+    append their rows to the matching centroid_id partitions.
+
+    Centroids stay FIXED across appends by design: re-training them
+    would silently invalidate every stored assignment; when drift
+    warrants it, that is an explicit full build_ivf_index rebuild.
+    Returns the number of appended rows (0 = idempotent no-op, so a
+    replayed append is safe). The query path (ann_topk_ivf_indexed)
+    is unchanged — appended files land inside the partition dirs the
+    probe already prunes on."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    existing = spark.read.parquet(f"{index_dir}/vectors").select(key)
+    new = emb.join(existing, key, "left_anti")
+    out = new.join(ivf_assign(new, cents, key, vec_col), key)
+    n = out.count()
+    if n:
+        out.write.mode("append").partitionBy("centroid_id").parquet(
+            f"{index_dir}/vectors"
+        )
+    return n
+
+
 def ann_topk_ivf_indexed(spark: SparkSession, index_dir: str,
                          query_vec: list[float], k: int = 10, n_probe: int = 4,
                          key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -76,6 +76,14 @@ class CurateConfig:
     input_snapshot: str = "fixture-v1"
     persist_intermediate: bool = True
     scorer: str = "arrow"  # "arrow" | "join"
+    # "salted" (production): repartition on (url-hash bucket, intra-
+    # bucket salt) — uniform under ANY domain distribution. "domain":
+    # the naive co-locate-by-domain exchange, kept ONLY as the skew
+    # bench's control arm (bench.py _skew_block) so the salt's
+    # flattening effect on a Zipfian hot-domain input is a measured
+    # number, not a design argument. Output is identical either way —
+    # the knob changes physical layout only.
+    repartition_mode: str = "salted"  # "salted" | "domain"
 
     def rule_versions(self) -> dict[str, str]:
         rv = dict(text_kernel.KERNEL_VERSIONS)
@@ -143,11 +151,16 @@ def deduped_docs(pages: DataFrame, cfg: CurateConfig) -> DataFrame:
         .withColumn("domain", domain_of(F.col("url")))
     )
     n_parts = _target_partitions(pages, cfg)
-    intra_salt = F.pmod(
-        F.xxhash64(F.col("url"), F.lit(cfg.salt + 1)),
-        F.lit(max(1, n_parts // cfg.num_buckets)),
-    )
-    docs = docs.repartition(n_parts, F.col("bucket"), intra_salt)
+    if cfg.repartition_mode == "domain":
+        # skew-probe control arm only — a hot domain serializes the
+        # whole downstream narrow chain into one task
+        docs = docs.repartition(n_parts, F.col("domain"))
+    else:
+        intra_salt = F.pmod(
+            F.xxhash64(F.col("url"), F.lit(cfg.salt + 1)),
+            F.lit(max(1, n_parts // cfg.num_buckets)),
+        )
+        docs = docs.repartition(n_parts, F.col("bucket"), intra_salt)
     lines = F.split(F.col("text"), "\n")
     repaired = F.filter(F.transform(lines, _repair_line), lambda p: p != "")
     # shed the wide inputs immediately: raw text does not travel past

@@ -108,3 +108,19 @@ def test_join_scorer_equals_arrow(spark, fixture_rows):
     fa = {r["url"]: list(r["filter_reasons"]) for r in a.collect()}
     fb = {r["url"]: list(r["filter_reasons"]) for r in b.collect()}
     assert fa == fb
+
+
+def test_repartition_mode_is_physical_only(spark):
+    """The skew-bench control arm (repartition_mode='domain') must
+    change ONLY the exchange key, never the output — same decisions,
+    same scrubbed text, same doc ids."""
+    from scripts_spark.plans.pipeline import CurateConfig, curate
+    from scripts_spark.sources import pages as P
+
+    df = P.pages_df(spark, 150, partitions=3)
+    a = curate(df, CurateConfig(num_buckets=4))
+    b = curate(df, CurateConfig(num_buckets=4, repartition_mode="domain"))
+    cols = ["url", "keep", "scrubbed_text", "doc_id"]
+    ra = sorted(tuple(r[c] for c in cols) for r in a.select(cols).collect())
+    rb = sorted(tuple(r[c] for c in cols) for r in b.select(cols).collect())
+    assert ra == rb

@@ -349,6 +349,39 @@ def test_ivf_stored_index_partition_pruning(spark, tmp_path):
     assert [r.asDict() for r in got.collect()] == [r.asDict() for r in inline.collect()]
 
 
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_ivf_index must index ONLY rows not already stored (a
+    second append of the same input is a 0-row no-op), keep every
+    stored assignment consistent with ivf_assign against the FIXED
+    centroid table, and leave the query path unchanged."""
+    from scripts_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(emb.filter(F.col("vec_id") < 250), idx, n_lists=8)
+    n = similarity.append_ivf_index(spark, emb, idx)
+    n_total = emb.count()
+    assert n == n_total - 250, n
+    assert similarity.append_ivf_index(spark, emb, idx) == 0  # idempotent
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert stored.count() == n_total
+    cents = spark.read.parquet(f"{idx}/centroids")
+    expect = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in stored.select("vec_id", "centroid_id").collect()
+    }
+    assert got == expect
+    dim = emb.select(F.size("embedding")).first()[0]
+    qv = [0.05 * ((i % 7) - 3) for i in range(dim)]
+    a = similarity.ann_topk_ivf_indexed(spark, idx, qv, k=5, n_probe=2)
+    b = similarity.ann_topk_ivf(emb, qv, k=5, n_lists=8, n_probe=2, centroids=cents)
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """The decontamination join must broadcast the tiny eval-gram side —
     the corpus-sized gram stream must never cross an exchange before
