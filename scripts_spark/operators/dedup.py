@@ -36,6 +36,61 @@ def exact_duplicates(df: DataFrame, key: str, text_col: str = "text") -> DataFra
     return h.withColumn("is_canonical", F.row_number().over(w) == 1)
 
 
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", span: int = 8) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the C4/Dolma pattern:
+    a repeated paragraph survives only at its first occurrence, not
+    once per document — document-level dedup misses it entirely).
+    Paragraph unit here: consecutive ``span``-token spans of the
+    ws-tokenized text (the fixture corpus has no newlines; with real
+    newline-delimited pages, split on '\\n' instead — same plan).
+
+    First occurrence = the corpus-wide MIN of (id * 1_000_000 + idx)
+    per paragraph — a scalar long, so the arg-min PARTIAL-AGGREGATES
+    map-side (each input partition ships one candidate per distinct
+    paragraph, the same trick as the url-dedup min), and the rule is
+    bit-identical in any engine. The keep decision joins back on the
+    paragraph (hash-partitioned equi-join); reassembly is one
+    per-document sort of kept spans. At crawl scale the shuffled key
+    is the paragraph STRING — swap in the hash-then-confirm two-pass
+    (plans/pipeline.boilerplate_sets) to carry 8-byte hashes instead;
+    the one-pass form is kept exact-portable for the value oracle.
+
+    Returns (id, n_paras, n_kept, dedup_text)."""
+    t = tokens(F.col(text_col))
+    spans = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
+        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
+    )
+    p = (
+        docs.filter(F.col(text_col).isNotNull() & (F.size(t) > 0))
+        .select(F.col(id_col), F.posexplode(spans).alias("idx", "para"))
+    )
+    occ = F.col(id_col) * F.lit(1_000_000) + F.col("idx")
+    firsts = p.groupBy("para").agg(F.min(occ).alias("first_occ"))
+    keep = p.join(firsts, "para").withColumn(
+        "kept", occ == F.col("first_occ")
+    )
+    return (
+        keep.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
                        num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
     """MinHash signature per doc: num_hashes independent min-hashes of

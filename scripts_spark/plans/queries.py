@@ -3892,4 +3892,50 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+# ============ batch 7 (round 5): corpus-wide paragraph dedup ===========
+
+@q(
+    "paragraph_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)) AS idx,
+             toks
+      FROM t WHERE len(toks) > 0),
+    p2 AS (
+      SELECT doc_id, idx,
+             array_to_string(list_slice(toks, idx*8 + 1, idx*8 + 8), ' ') AS para
+      FROM p),
+    firsts AS (
+      SELECT para, MIN(doc_id*1000000 + idx) AS first_occ FROM p2 GROUP BY para),
+    k AS (
+      SELECT p2.doc_id, p2.idx, p2.para,
+             (p2.doc_id*1000000 + p2.idx) = f.first_occ AS kept
+      FROM p2 JOIN firsts f ON f.para = p2.para)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY idx), '')
+             AS dedup_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_q(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (training-data extras —
+    the C4/Dolma pattern document-level dedup can't see): every
+    repeated 8-token span survives only at its corpus-wide first
+    occurrence (min scalar (doc_id, idx) key -> partial-aggregable
+    arg-min), other occurrences are stripped and the document text
+    reassembled. operators/dedup.paragraph_dedup; hash-then-confirm
+    swap noted there for crawl scale."""
+    from scripts_spark.operators import dedup as D
+
+    return D.paragraph_dedup(T(spark, sf_dir, "documents")).select(
+        "doc_id", "n_paras", "n_kept", "dedup_text"
+    )
+
+
 _curate_order()

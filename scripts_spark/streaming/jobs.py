@@ -256,10 +256,17 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
     line_docs, dom_docs = boiler_line_evidence(docs, cfg)
     line_docs = line_docs.persist()
     if batch_id > through:
+        # rebalance before writing: the evidence frame reads from the
+        # persisted cache with the scoring stage's partitioning, which
+        # would emit one near-empty file per cached partition per
+        # micro-batch; the AQE rebalance re-sizes write partitions to
+        # the advisory byte target instead (1 file per batch at test
+        # scale, ~64 MB files at crawl scale)
         (
             _line_hashes(line_docs)
             .select("domain", "h1", "h2", "line_docs")
             .withColumn("batch_id", F.lit(batch_id))
+            .hint("rebalance")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -267,6 +274,7 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
         )
         (
             dom_docs.withColumn("batch_id", F.lit(batch_id))
+            .hint("rebalance")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -281,10 +289,10 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
         "domain string, domain_docs long",
     ).groupBy("domain").agg(F.sum("domain_docs").alias("domain_docs"))
     if compact_every and batch_id - through >= compact_every:
-        merged_lines.write.mode("overwrite").parquet(
+        merged_lines.hint("rebalance").write.mode("overwrite").parquet(
             f"{state_dir}/lines_compacted/through={batch_id}"
         )
-        merged_doms.write.mode("overwrite").parquet(
+        merged_doms.hint("rebalance").write.mode("overwrite").parquet(
             f"{state_dir}/domains_compacted/through={batch_id}"
         )
         _advance_watermark(state_dir, batch_id)
