@@ -33,6 +33,8 @@ def run(cpus: int) -> dict:
         BENCH_REPLICATE=REPLICATE,
         BENCH_ONLY="curate",
         BENCH_ENDURANCE="0",  # scaling compares the flagship run only
+        BENCH_SKEW="0",  # ... not the skew/state probes (round 5)
+        BENCH_STREAM_STATE="0",
         BENCH_IS_CONTROL="1",  # no nested control-clone run inside scaling
         # 2 in-JVM trials per subprocess; burst-robustness comes from
         # SCALE_TRIALS fresh-JVM runs at this level

@@ -297,6 +297,29 @@ def test_asof_join_atomic_row_carry(spark):
     assert (r["a_asof"], r["b_asof"]) == (2, None), r
 
 
+def test_banded_near_pairs_subset_of_bruteforce(spark):
+    """LSH candidate generation can only LOSE pairs, never invent
+    them: every banded pair must also pass the brute-force threshold
+    join, with identical dot/norm values, and the testdata's known
+    near-pairs must be substantially recovered (6 of 7 at sf0.001
+    with 8x3 planes — deterministic, pinned)."""
+    from scripts_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        (r["key_a"], r["key_b"]): (r["dot"], r["n2_a"], r["n2_b"])
+        for r in similarity.banded_near_pairs(emb, dim=64).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"]): (r["dot"], r["n2_a"], r["n2_b"])
+        for r in Q.REGISTRY["embedding_near_pairs"](spark, sf).collect()
+    }
+    assert set(got) <= set(brute)
+    assert all(brute[k] == v for k, v in got.items())
+    assert len(got) == 6 and len(brute) == 7, (len(got), len(brute))
+
+
 def test_lsh_bucket_skips_null_and_ragged_vectors(spark):
     """A NULL or wrong-length embedding must get no bucket (like the
     old posexplode form) — not crash the numpy matmul batch."""
