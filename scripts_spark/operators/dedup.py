@@ -45,11 +45,14 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     ws-tokenized text (the fixture corpus has no newlines; with real
     newline-delimited pages, split on '\\n' instead — same plan).
 
-    First occurrence = the corpus-wide MIN of (id * 1_000_000 + idx)
-    per paragraph — a scalar long, so the arg-min PARTIAL-AGGREGATES
-    map-side (each input partition ships one candidate per distinct
-    paragraph, the same trick as the url-dedup min), and the rule is
-    bit-identical in any engine. The keep decision joins back on the
+    First occurrence = the corpus-wide lexicographic MIN of the
+    (id, idx) struct per paragraph — min over structs PARTIAL-
+    AGGREGATES map-side (each input partition ships one candidate per
+    distinct paragraph, the same trick as the url-dedup min), and
+    DuckDB's struct min orders identically, so the rule is
+    bit-identical in any engine with no scalar-encoding overflow (a
+    scalar id*K+idx key would silently crown the wrong survivor once
+    a document exceeds K spans). The keep decision joins back on the
     paragraph (hash-partitioned equi-join); reassembly is one
     per-document sort of kept spans. At crawl scale the shuffled key
     is the paragraph STRING — swap in the hash-then-confirm two-pass
@@ -66,7 +69,7 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         docs.filter(F.col(text_col).isNotNull() & (F.size(t) > 0))
         .select(F.col(id_col), F.posexplode(spans).alias("idx", "para"))
     )
-    occ = F.col(id_col) * F.lit(1_000_000) + F.col("idx")
+    occ = F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
     firsts = p.groupBy("para").agg(F.min(occ).alias("first_occ"))
     keep = p.join(firsts, "para").withColumn(
         "kept", occ == F.col("first_occ")

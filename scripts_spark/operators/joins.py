@@ -39,13 +39,17 @@ def fuzzy_match_cascade(facts: DataFrame, dim: DataFrame, fact_key: str,
     at stage k is by construction absent from every later stage —
     which the equivalence test pins."""
     dim_cols = sorted(set(dim.columns) - set(facts.columns))
+    # every dim column shadowed by a fact column → nothing to order the
+    # arbitration by (matches are then indistinguishable anyway); a
+    # constant keeps the window valid instead of an AnalysisException
+    order_cols = [F.col(c) for c in dim_cols] or [F.lit(1)]
     remaining = facts
     best = None
     for name, cond in stages:
         m = remaining.join(F.broadcast(dim), cond, "inner").withColumn(
             "match_stage", F.lit(name)
         )
-        w = Window.partitionBy(fact_key).orderBy(*dim_cols)
+        w = Window.partitionBy(fact_key).orderBy(*order_cols)
         stage_best = (
             m.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -248,7 +248,17 @@ def banded_near_pairs(emb: DataFrame, bands: int = 8, band_planes: int = 3,
     pair keys. Every step is engine-portable integer math, so the
     DuckDB oracle reproduces it bit-exactly."""
     if dim is None:
-        dim = emb.select(F.size(vec_col)).first()[0]
+        # max over non-null rows, not first(): first() crashes on an
+        # empty frame and a NULL first embedding would yield dim=-1
+        # (silently matching nothing). Pass dim explicitly for ragged
+        # corpora where max is not the dominant width.
+        row = emb.select(F.max(F.size(vec_col)).alias("d")).first()
+        dim = row["d"] if row is not None else None
+        if dim is None or dim <= 0:
+            kdt = emb.schema[key].dataType.simpleString()
+            return emb.sparkSession.createDataFrame(
+                [], f"key_a {kdt}, key_b {kdt}, dot long, n2_a long, n2_b long"
+            )
     signs = md5_sign_matrix(dim, bands * band_planes)
     zero = F.lit(0).cast("long")
     clean = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
@@ -492,12 +502,18 @@ def append_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str,
     cents = spark.read.parquet(f"{index_dir}/centroids")
     existing = spark.read.parquet(f"{index_dir}/vectors").select(key)
     new = emb.join(existing, key, "left_anti")
-    out = new.join(ivf_assign(new, cents, key, vec_col), key)
-    n = out.count()
-    if n:
-        out.write.mode("append").partitionBy("centroid_id").parquet(
-            f"{index_dir}/vectors"
-        )
+    # persist: count() and the append both consume the anti-join +
+    # assignment lineage — without it the store scan, anti-join and
+    # centroid argmax would execute twice per append
+    out = new.join(ivf_assign(new, cents, key, vec_col), key).persist()
+    try:
+        n = out.count()
+        if n:
+            out.write.mode("append").partitionBy("centroid_id").parquet(
+                f"{index_dir}/vectors"
+            )
+    finally:
+        out.unpersist()
     return n
 
 

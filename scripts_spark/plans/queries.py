@@ -3910,10 +3910,11 @@ def benchmark_contamination(spark, sf_dir):
              array_to_string(list_slice(toks, idx*8 + 1, idx*8 + 8), ' ') AS para
       FROM p),
     firsts AS (
-      SELECT para, MIN(doc_id*1000000 + idx) AS first_occ FROM p2 GROUP BY para),
+      SELECT para, MIN(struct_pack(d := doc_id, i := idx)) AS first_occ
+      FROM p2 GROUP BY para),
     k AS (
       SELECT p2.doc_id, p2.idx, p2.para,
-             (p2.doc_id*1000000 + p2.idx) = f.first_occ AS kept
+             struct_pack(d := p2.doc_id, i := p2.idx) = f.first_occ AS kept
       FROM p2 JOIN firsts f ON f.para = p2.para)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_paras,
@@ -3927,8 +3928,8 @@ def paragraph_dedup_q(spark, sf_dir):
     """Corpus-wide paragraph-level exact dedup (training-data extras —
     the C4/Dolma pattern document-level dedup can't see): every
     repeated 8-token span survives only at its corpus-wide first
-    occurrence (min scalar (doc_id, idx) key -> partial-aggregable
-    arg-min), other occurrences are stripped and the document text
+    occurrence (lexicographic min (doc_id, idx) struct -> partial-
+    aggregable arg-min), other occurrences are stripped and the text
     reassembled. operators/dedup.paragraph_dedup; hash-then-confirm
     swap noted there for crawl scale."""
     from scripts_spark.operators import dedup as D

@@ -124,6 +124,10 @@ def _line_hashes(df: DataFrame) -> DataFrame:
     )
 
 
+# state dirs whose schema this process has already validated
+_SCHEMA_CHECKED: set[str] = set()
+
+
 def _compacted_through(state_dir: str) -> int:
     """Compaction watermark: the largest batch_id whose evidence has
     been folded into the compacted snapshot (-1 = no snapshot yet).
@@ -239,12 +243,20 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
     atomic rename, and the folded per-batch partitions are dropped; the
     per-trigger read is then one snapshot + at most ``compact_every``
     tail partitions. Replay stays idempotent across the horizon: a
-    replayed batch <= the watermark skips its (already-folded) state
-    write entirely — a strict no-op — while a replayed tail batch
-    dynamic-overwrites its own partition as before. A crash mid-
+    replayed batch == the watermark (the one batch Structured
+    Streaming can replay after a crash during the compacting trigger)
+    skips its already-folded state write entirely — a strict no-op —
+    while a replayed tail batch dynamic-overwrites its own partition
+    as before; a batch id BELOW the watermark cannot occur in a
+    healthy stream and fails fast (checkpoint/state mismatch, see
+    the guard below). A crash mid-
     compaction leaves a half-written snapshot the marker never points
     to; the read path ignores it and the next compaction overwrites it."""
-    if _has_batch_partitions(state_dir, "lines"):
+    # one-time per process: schema inference on the state table costs
+    # a listing + footer read per call — pointless on every trigger of
+    # a long stream for a migration check whose answer cannot change
+    # under this process's own writes
+    if state_dir not in _SCHEMA_CHECKED and _has_batch_partitions(state_dir, "lines"):
         legacy = spark.read.parquet(f"{state_dir}/lines")
         if "para" in legacy.columns or "h1" not in legacy.columns:
             raise ValueError(
@@ -252,10 +264,24 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
                 f"schema {legacy.columns} in {state_dir}/lines); clear the "
                 "state_dir or migrate it to (domain, h1, h2, line_docs)"
             )
+        _SCHEMA_CHECKED.add(state_dir)
     through = _compacted_through(state_dir)
+    # batch ids are assigned by the streaming checkpoint and only ever
+    # grow; the single legitimate id <= watermark is a crash-replay of
+    # the batch that RAN the last compaction (== through). Anything
+    # OLDER means this stream's checkpoint does not own this state_dir
+    # (fresh/rewound checkpoint against old state) — silently skipping
+    # writes would freeze boilerplate evidence forever, so fail fast.
+    if batch_id < through:
+        raise ValueError(
+            f"boiler state watermark ({through}) is ahead of micro-batch "
+            f"id {batch_id}: this state_dir was compacted by a different "
+            "(or further-along) checkpoint. Resume with the original "
+            "checkpoint_dir, or clear the boiler state_dir."
+        )
     line_docs, dom_docs = boiler_line_evidence(docs, cfg)
     line_docs = line_docs.persist()
-    if batch_id > through:
+    if batch_id != through:
         # rebalance before writing: the evidence frame reads from the
         # persisted cache with the scoring stage's partitioning, which
         # would emit one near-empty file per cached partition per

@@ -318,6 +318,12 @@ def test_banded_near_pairs_subset_of_bruteforce(spark):
     assert set(got) <= set(brute)
     assert all(brute[k] == v for k, v in got.items())
     assert len(got) == 6 and len(brute) == 7, (len(got), len(brute))
+    # empty / all-null inputs: empty result with the right schema, not
+    # a first()-crash or a silent dim=-1 nothing-matches filter
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.banded_near_pairs(empty).count() == 0
+    nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<float>")
+    assert similarity.banded_near_pairs(nulls).count() == 0
 
 
 def test_lsh_bucket_skips_null_and_ragged_vectors(spark):

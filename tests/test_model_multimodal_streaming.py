@@ -393,8 +393,11 @@ def test_boiler_state_compaction_bounds_files(spark, tmpdirs):
     """With compact_every=K the state table must stay bounded across
     >= 3K micro-batches — at most K-1 tail ``batch_id=`` partitions plus
     one compacted snapshot — while merged counts stay EXACT (equal to
-    the sum over all batches), and a replay of a batch older than the
-    compaction horizon must be a strict no-op."""
+    the sum over all batches). A replay of the batch that RAN the last
+    compaction (the only id <= watermark a healthy stream can replay)
+    must be a strict no-op, and a batch id BELOW the watermark — a
+    fresh/rewound checkpoint pointed at old state — must fail fast
+    instead of silently freezing evidence."""
     import datetime
     import os
 
@@ -453,12 +456,15 @@ def test_boiler_state_compaction_bounds_files(spark, tmpdirs):
     first = merged()
     # exact: the shared nav line appeared in 2 docs in every batch
     assert first[("cmp.example.com", h1, h2)] == 2 * n_batches
-    # replay a batch OLDER than the compaction horizon: strict no-op
+    # replay the batch that ran the last compaction: strict no-op
     W = _compacted_through(state_dir)
     assert W >= 0
-    run(0)
+    run(W)
     assert merged() == first
     assert _compacted_through(state_dir) == W
+    # a batch id BELOW the watermark = checkpoint/state mismatch
+    with pytest.raises(ValueError, match="watermark"):
+        run(0)
 
 
 def test_boiler_state_legacy_schema_fails_fast(spark, tmpdirs):
