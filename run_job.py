@@ -22,6 +22,10 @@ Subcommands:
                 (F1 + per-stratum Beta CIs + confusion matrix) — the
                 reference's §3.3 annotate→estimate loop end-to-end
     metrics     print per-bucket metrics from a decisions output
+    stream-curate  incremental ingest: stream new crawl drops through
+                the same curate plan with exactly-once bucket commits
+                (optional cross-batch url dedup + compacted
+                boilerplate state)
 """
 
 from __future__ import annotations
@@ -48,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=10000)
     g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--start", type=int, default=0,
+                   help="global row-index offset: disjoint [start, "
+                   "start+rows) ranges give disjoint url sets "
+                   "(incremental crawl drops)")
 
     c = sub.add_parser("curate")
     c.add_argument("--input", required=True)
@@ -109,12 +117,33 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--gold", required=True)
     s.add_argument("--stratum", default="lang_pred")
 
+    st = sub.add_parser(
+        "stream-curate",
+        help="incremental ingest: file-source stream over the pages "
+        "directory, each micro-batch curated and manifest-committed; "
+        "rerun the same command as new crawl drops land (availableNow "
+        "catch-up). Optional cross-batch url dedup and cross-batch "
+        "boilerplate state with snapshot compaction.",
+    )
+    st.add_argument("--input", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--buckets", type=int, default=256)
+    st.add_argument("--snapshot", default="cli-stream")
+    st.add_argument("--dedup-urls", action="store_true",
+                    help="exact cross-batch url dedup (watermarked state)")
+    st.add_argument("--boiler-state", default=None,
+                    help="state dir for cross-batch boilerplate evidence")
+    st.add_argument("--compact-every", type=int, default=16,
+                    help="fold boiler state into a snapshot every K batches")
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+
     a = p.parse_args(argv)
     spark = get_spark(app_name=f"scripts-spark-{a.cmd}")
     spark.sparkContext.setLogLevel("WARN")
 
     if a.cmd == "gen-pages":
-        pages.write_pages(spark, a.output, a.rows, a.seed)
+        pages.write_pages(spark, a.output, a.rows, a.seed, start=a.start)
         print(json.dumps({"written": a.rows, "path": a.output}))
     elif a.cmd == "curate":
         df = spark.read.parquet(a.input)
@@ -125,6 +154,20 @@ def main(argv: list[str] | None = None) -> int:
         dec = curate(df, cfg)
         stats = catalog.commit_buckets(dec, a.output)
         print(json.dumps(stats))
+    elif a.cmd == "stream-curate":
+        from scripts_spark.streaming.jobs import stream_curate
+
+        cfg = CurateConfig(num_buckets=a.buckets, input_snapshot=a.snapshot)
+        q = stream_curate(
+            spark, a.input, a.output, a.checkpoint, cfg,
+            max_files_per_trigger=a.max_files_per_trigger,
+            dedup_urls_across_batches=a.dedup_urls,
+            boiler_state_dir=a.boiler_state,
+            boiler_compact_every=a.compact_every,
+        )
+        q.awaitTermination()
+        n = catalog.read_output(spark, a.output).count()
+        print(json.dumps({"output_rows": n, "path": a.output}))
     elif a.cmd == "check":
         dec = catalog.read_output(spark, a.decisions)
         result = quality_checks.run_all(dec)

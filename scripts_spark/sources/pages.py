@@ -262,8 +262,9 @@ def pages_df(spark: SparkSession, n: int, seed: int = 42, partitions: int | None
     return rng.mapInPandas(_gen, PAGES_SCHEMA)
 
 
-def write_pages(spark: SparkSession, path: str, n: int, seed: int = 42) -> None:
-    pages_df(spark, n, seed).write.mode("overwrite").parquet(path)
+def write_pages(spark: SparkSession, path: str, n: int, seed: int = 42,
+                start: int = 0) -> None:
+    pages_df(spark, n, seed, start=start).write.mode("overwrite").parquet(path)
 
 
 def domain_of(col) -> "F.Column":
