@@ -46,13 +46,18 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     newline-delimited pages, split on '\\n' instead — same plan).
 
     First occurrence = the corpus-wide lexicographic MIN of the
-    (id, idx) struct per paragraph — min over structs PARTIAL-
-    AGGREGATES map-side (each input partition ships one candidate per
-    distinct paragraph, the same trick as the url-dedup min), and
-    DuckDB's struct min orders identically, so the rule is
-    bit-identical in any engine with no scalar-encoding overflow (a
-    scalar id*K+idx key would silently crown the wrong survivor once
-    a document exceeds K spans). The keep decision joins back on the
+    (id, idx) struct per paragraph; DuckDB's struct min orders
+    identically, so the rule is bit-identical in any engine with no
+    scalar-encoding overflow (a scalar id*K+idx key would silently
+    crown the wrong survivor once a document exceeds K spans).
+
+    Physical form: the per-paragraph min is a whole-partition WINDOW
+    over the single paragraph exchange, not groupBy+join-back — the
+    join form re-scans and re-explodes the whole corpus for the probe
+    side (measured: 2 scans, 2 Generates, 3 exchanges vs 1/1/2 here,
+    bit-identical results), and its sort-merge join pays the same
+    para-sort the window needs anyway. At crawl scale that halves the
+    heaviest cost in the plan (tokenize+explode of every document). The keep decision joins back on the
     paragraph (hash-partitioned equi-join); reassembly is one
     per-document sort of kept spans. At crawl scale the shuffled key
     is the paragraph STRING — swap in the hash-then-confirm two-pass
@@ -70,10 +75,8 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), F.posexplode(spans).alias("idx", "para"))
     )
     occ = F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
-    firsts = p.groupBy("para").agg(F.min(occ).alias("first_occ"))
-    keep = p.join(firsts, "para").withColumn(
-        "kept", occ == F.col("first_occ")
-    )
+    w = Window.partitionBy("para")
+    keep = p.withColumn("kept", occ == F.min(occ).over(w))
     return (
         keep.groupBy(id_col)
         .agg(

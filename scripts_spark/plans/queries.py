@@ -3939,4 +3939,36 @@ def paragraph_dedup_q(spark, sf_dir):
     )
 
 
+@q(
+    "dataset_split",
+    """
+    SELECT doc_id,
+           CASE WHEN h < 960 THEN 'train'
+                WHEN h < 980 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 1000 AS h
+      FROM documents)
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-independent
+    id hash (96/2/2 per-mille buckets) — the standard reproducible
+    held-out split for training corpora: pure per-row map, ZERO
+    shuffle, stable under reruns/repartitions/appends (a new crawl
+    drop never reassigns an old document), and engine-portable via
+    the md5-hex-prefix uniform (same idiom as weighted_sample)."""
+    d = T(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    return d.select(
+        "doc_id",
+        F.when(h < 960, "train").when(h < 980, "val").otherwise("test").alias("split"),
+    )
+
+
 _curate_order()
