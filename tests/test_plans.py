@@ -382,6 +382,17 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
 
 
+def test_paragraph_dedup_single_pass(spark):
+    """The corpus-wide paragraph arg-min must be a WINDOW over one
+    paragraph exchange — the groupBy+join-back form re-scans and
+    re-explodes the whole corpus for the probe side (the heaviest
+    work in the plan, twice). Pin: one scan, one explode."""
+    df = Q.REGISTRY["paragraph_dedup"](spark, SF)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """The decontamination join must broadcast the tiny eval-gram side —
     the corpus-sized gram stream must never cross an exchange before
