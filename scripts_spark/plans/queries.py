@@ -3940,6 +3940,57 @@ def paragraph_dedup_q(spark, sf_dir):
 
 
 @q(
+    "dup_span_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1),
+               i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')))
+               AS span
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(DISTINCT span) AS BIGINT) AS n_unique_spans,
+           CAST(COUNT(*) - COUNT(DISTINCT span) AS BIGINT) AS dup_occurrences,
+           (COUNT(*) - COUNT(DISTINCT span)) * 5 > COUNT(*) AS dup_flag
+    FROM p GROUP BY doc_id
+    """,
+)
+def dup_span_stats(spark, sf_dir):
+    """WITHIN-document repetition rule (the Gopher duplicate-paragraph
+    fraction, complementing paragraph_dedup's cross-corpus pass): per
+    document, total 8-token spans vs distinct spans; dup_flag fires
+    when over 20% of spans are repeats of an earlier span in the SAME
+    document (integer cross-multiplication, no float ratio). One
+    explode + one partial-agg'd groupBy per doc — no cross-document
+    state at all, so it composes with the curate map stage at any
+    scale."""
+    d = T(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    span = 8
+    spans = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
+        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
+    )
+    p = (
+        d.filter(F.col("text").isNotNull() & (F.size(t) > 0))
+        .select("doc_id", F.explode(spans).alias("span"))
+    )
+    n = F.count(F.lit(1))
+    u = F.count_distinct(F.col("span"))
+    return p.groupBy("doc_id").agg(
+        n.alias("n_spans"),
+        u.alias("n_unique_spans"),
+        (n - u).alias("dup_occurrences"),
+        ((n - u) * 5 > n).alias("dup_flag"),
+    )
+
+
+@q(
     "dataset_split",
     """
     SELECT doc_id,
