@@ -3940,6 +3940,66 @@ def paragraph_dedup_q(spark, sf_dir):
 
 
 @q(
+    "term_lift",
+    """
+    WITH tok AS (
+      SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source, token),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS s_tot FROM tok GROUP BY source),
+    g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS g_tot FROM tok GROUP BY token),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_tot FROM tok),
+    lift AS (
+      SELECT a.source, a.token, a.n,
+             CAST((a.n * t.t_tot * 1000) // (g.g_tot * s.s_tot) AS BIGINT)
+               AS lift_milli
+      FROM a JOIN s USING (source) JOIN g USING (token) CROSS JOIN t
+      WHERE a.n >= 5)
+    SELECT source, token, n, lift_milli FROM (
+      SELECT source, token, n, lift_milli,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY lift_milli DESC, token) AS rn
+      FROM lift)
+    WHERE rn <= 5
+    """,
+)
+def term_lift(spark, sf_dir):
+    """Distinctive-term mining per source (PMI-style lift, corpus
+    analytics for curation dashboards): lift(token, source) =
+    P(token|source) / P(token), computed as the exact integer
+    milli-ratio n·T·1000 div (g·s) over token-occurrence counts (all
+    positive longs — engine-identical floor division; at 10^12-token
+    scale the products need DECIMAL(38) — same plan, wider type).
+    Top-5 per source by (lift desc, token), min support n >= 5.
+    All three count tables partial-aggregate map-side; the scalar
+    total broadcasts."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    a = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    s = tok.groupBy("source").agg(F.count(F.lit(1)).alias("s_tot"))
+    g = tok.groupBy("token").agg(F.count(F.lit(1)).alias("g_tot"))
+    t = tok.agg(F.count(F.lit(1)).alias("t_tot"))
+    lift = (
+        a.join(s, "source")
+        .join(g, "token")
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("n") >= 5)
+        .withColumn(
+            "lift_milli",
+            F.expr("(n * t_tot * 1000) div (g_tot * s_tot)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift_milli"), "token")
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", "n", "lift_milli")
+    )
+
+
+@q(
     "dup_span_stats",
     """
     WITH t AS (
