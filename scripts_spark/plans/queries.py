@@ -3940,6 +3940,52 @@ def paragraph_dedup_q(spark, sf_dir):
 
 
 @q(
+    "value_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY event_type),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+      FROM v)
+    SELECT r.event_type, p.p_milli, n.c AS n, r.cents AS value_cents
+    FROM r JOIN n USING (event_type)
+    JOIN (VALUES (500), (900), (990)) p(p_milli)
+      ON r.rn = greatest(1, (n.c * p.p_milli + 999) // 1000)
+    """,
+)
+def value_quantiles(spark, sf_dir):
+    """Exact nearest-rank quantiles per group (p50/p90/p99 of the
+    event value in cents) — order statistics with NO float
+    interpolation anywhere: the target rank is the integer
+    ceil(c·p/1000) computed as (c·p + 999) div 1000, and the answer
+    is the actual cents value at that rank, so both engines agree
+    bit-for-bit (interpolated percentile() would hash-mismatch on
+    float midpoints). The rank probe is a 3-row broadcast join; at
+    corpus scale swap the global sort for approx_percentile when the
+    ±1-rank tolerance is acceptable — this exact form is the oracle
+    anchor for that."""
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    r = v.withColumn("rn", F.row_number().over(w))
+    ps = spark.createDataFrame([(500,), (900,), (990,)], "p_milli long")
+    rank = F.greatest(F.lit(1).cast("long"), F.expr("(c * p_milli + 999) div 1000"))
+    return (
+        r.join(n, "event_type")
+        .join(F.broadcast(ps), how="cross")
+        .filter(F.col("rn") == rank)
+        .select("event_type", "p_milli", F.col("c").alias("n"),
+                F.col("cents").alias("value_cents"))
+    )
+
+
+@q(
     "term_lift",
     """
     WITH tok AS (
