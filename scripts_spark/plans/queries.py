@@ -3940,6 +3940,66 @@ def paragraph_dedup_q(spark, sf_dir):
 
 
 @q(
+    "bigram_model_counts",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM t WHERE len(toks) >= 2),
+    c AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM b GROUP BY bg.w1, bg.w2),
+    m AS (
+      SELECT w1, w2, n_pair,
+             CAST(SUM(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+      FROM c)
+    SELECT w1, w2, n_pair, n_w1,
+           CAST((n_pair * 1000) // n_w1 AS BIGINT) AS cond_milli
+    FROM (
+      SELECT w1, w2, n_pair, n_w1,
+             row_number() OVER (ORDER BY n_pair DESC, w1, w2) AS rn
+      FROM m)
+    WHERE rn <= 100
+    """,
+)
+def bigram_model_counts(spark, sf_dir):
+    """On-engine bigram language-model TRAINING counts — the
+    derivation step behind the frozen table the curate scorer
+    broadcasts (functions/langmodel): per-bigram corpus counts, the
+    w1 marginal via a window sum (one shuffle on w1 after the
+    map-side-combined pair agg), and the exact integer milli
+    conditional P(w2|w1) = n_pair·1000 div n_w1. Top-100 by
+    (n_pair desc, w1, w2) — a TakeOrderedAndProject, not a global
+    sort. At crawl scale the full (unlimited) table is written out
+    and becomes the next pipeline version's broadcast model."""
+    d = T(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    b = (
+        d.filter(F.col("text").isNotNull() & (F.size(t) >= 2))
+        .select(F.explode(grams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    m = c.withColumn("n_w1", F.sum("n_pair").over(Window.partitionBy("w1")))
+    out = (
+        m.withColumn("cond_milli", F.expr("(n_pair * 1000) div n_w1").cast("long"))
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(100)
+    )
+    return out.select("w1", "w2", "n_pair", "n_w1", "cond_milli")
+
+
+@q(
     "value_quantiles",
     """
     WITH v AS (
