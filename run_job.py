@@ -166,7 +166,16 @@ def main(argv: list[str] | None = None) -> int:
             boiler_compact_every=a.compact_every,
         )
         q.awaitTermination()
-        n = catalog.read_output(spark, a.output).count()
+        # a valid run over an empty input commits zero batches and never
+        # creates <output>/data — report 0 rows instead of crashing on
+        # the nonexistent path
+        import os as _os
+
+        n = (
+            catalog.read_output(spark, a.output).count()
+            if _os.path.isdir(f"{a.output}/data")
+            else 0
+        )
         print(json.dumps({"output_rows": n, "path": a.output}))
     elif a.cmd == "check":
         dec = catalog.read_output(spark, a.decisions)

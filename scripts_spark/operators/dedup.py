@@ -57,12 +57,12 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     side (measured: 2 scans, 2 Generates, 3 exchanges vs 1/1/2 here,
     bit-identical results), and its sort-merge join pays the same
     para-sort the window needs anyway. At crawl scale that halves the
-    heaviest cost in the plan (tokenize+explode of every document). The keep decision joins back on the
-    paragraph (hash-partitioned equi-join); reassembly is one
-    per-document sort of kept spans. At crawl scale the shuffled key
-    is the paragraph STRING — swap in the hash-then-confirm two-pass
-    (plans/pipeline.boilerplate_sets) to carry 8-byte hashes instead;
-    the one-pass form is kept exact-portable for the value oracle.
+    heaviest cost in the plan (tokenize+explode of every document);
+    reassembly is one per-document sort of kept spans. At crawl scale
+    the shuffled key is the paragraph STRING — swap in the
+    hash-then-confirm two-pass (plans/pipeline.boilerplate_sets) to
+    carry 8-byte hashes instead; the one-pass form is kept
+    exact-portable for the value oracle.
 
     Returns (id, n_paras, n_kept, dedup_text)."""
     t = tokens(F.col(text_col))

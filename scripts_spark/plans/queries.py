@@ -42,6 +42,13 @@ def _tokens(col):
     return F.filter(F.split(col, " "), lambda t: t != "")
 
 
+def _md5_hash32(col):
+    """First 8 md5 hex chars as a long — the engine-portable uniform
+    hash shared by the sampling / shuffling / split queries (DuckDB
+    twin: ('0x' || substr(md5(x), 1, 8))::UBIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------- A2
 @q(
     "pricing_summary",
@@ -1111,7 +1118,7 @@ def weighted_sample(spark, sf_dir):
     from md5 — deterministic AND engine-portable (no rand())."""
     d = T(spark, sf_dir, "documents")
     u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        _md5_hash32(F.col("doc_id").cast("string"))
         + 1
     ) / F.lit(4294967297.0)
     key = -F.log(u) / (F.col("n_chars") + 1)
@@ -1765,7 +1772,7 @@ def rolling_fingerprint(spark, sf_dir):
     prefixes; every intermediate < 2^36 fits BIGINT in both engines)."""
     d = T(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    val = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    val = _md5_hash32
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -2156,7 +2163,7 @@ def simhash_pairs(spark, sf_dir):
     identical in Spark (conv(…,16,10)) and DuckDB ((‘0x’||…)::UBIGINT);
     the fast production form is operators/dedup.simhash (xxhash64)."""
     d = T(spark, sf_dir, "documents")
-    hash32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    hash32 = _md5_hash32
     fp = D.simhash(
         d, "doc_id", bits=_SIMHASH_BITS, hash_fn=hash32,
         token_expr=_tokens(F.col("text")),
@@ -4031,14 +4038,16 @@ def value_quantiles(spark, sf_dir):
     v = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("event_type").orderBy("cents")
-    r = v.withColumn("rn", F.row_number().over(w))
+    # the group count rides the SAME partition window as the rank — no
+    # second scan, no join-back of a separate groupBy
+    r = v.withColumn("rn", F.row_number().over(w)).withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
     ps = spark.createDataFrame([(500,), (900,), (990,)], "p_milli long")
     rank = F.greatest(F.lit(1).cast("long"), F.expr("(c * p_milli + 999) div 1000"))
     return (
-        r.join(n, "event_type")
-        .join(F.broadcast(ps), how="cross")
+        r.join(F.broadcast(ps), how="cross")
         .filter(F.col("rn") == rank)
         .select("event_type", "p_milli", F.col("c").alias("n"),
                 F.col("cents").alias("value_cents"))
@@ -4077,20 +4086,31 @@ def term_lift(spark, sf_dir):
     positive longs — engine-identical floor division; at 10^12-token
     scale the products need DECIMAL(38) — same plan, wider type).
     Top-5 per source by (lift desc, token), min support n >= 5.
-    All three count tables partial-aggregate map-side; the scalar
-    total broadcasts."""
+
+    Physical form: ONE tokenize+explode pass. The (source, token) pair
+    counts are the only aggregation that sees the corpus; all three
+    marginals derive from that small count table — s_tot and g_tot as
+    window sums over it, t_tot as a scalar agg of it broadcast back —
+    instead of three more corpus-wide explodes (the same
+    marginal-via-window trick as bigram_model_counts; re-exploding
+    every document 4x is the exact shape paragraph_dedup's plan test
+    exists to forbid)."""
     d = T(spark, sf_dir, "documents")
     tok = d.filter(F.col("text").isNotNull()).select(
         "source", F.explode(_tokens(F.col("text"))).alias("token")
     )
-    a = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
-    s = tok.groupBy("source").agg(F.count(F.lit(1)).alias("s_tot"))
-    g = tok.groupBy("token").agg(F.count(F.lit(1)).alias("g_tot"))
-    t = tok.agg(F.count(F.lit(1)).alias("t_tot"))
+    # persist: the count table has TWO consumers (the window chain and
+    # the scalar total) and ReusedExchange does not reach across the
+    # broadcast subquery boundary — without the persist the corpus
+    # tokenize+explode re-runs for the one-row total (measured: 2
+    # corpus scans vs 1). The persisted table is vocab x sources rows,
+    # tiny next to the corpus it summarizes.
+    a = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n")).persist()
+    t = a.agg(F.sum("n").alias("t_tot"))
+    a = a.withColumn("s_tot", F.sum("n").over(Window.partitionBy("source")))
+    a = a.withColumn("g_tot", F.sum("n").over(Window.partitionBy("token")))
     lift = (
-        a.join(s, "source")
-        .join(g, "token")
-        .crossJoin(F.broadcast(t))
+        a.crossJoin(F.broadcast(t))
         .filter(F.col("n") >= 5)
         .withColumn(
             "lift_milli",
@@ -4178,10 +4198,7 @@ def dataset_split(spark, sf_dir):
     drop never reassigns an old document), and engine-portable via
     the md5-hex-prefix uniform (same idiom as weighted_sample)."""
     d = T(spark, sf_dir, "documents")
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000
-    )
+    h = _md5_hash32(F.col("doc_id").cast("string")) % 1000
     return d.select(
         "doc_id",
         F.when(h < 960, "train").when(h < 980, "val").otherwise("test").alias("split"),

@@ -93,52 +93,50 @@ def test_fuzz_paragraph_dedup(spark):
     assert len(all_spans) >= len({s for s in kept_spans if s})
 
 
-def test_fuzz_dup_span_stats_matches_python(spark):
+def test_fuzz_dup_span_stats_matches_python(spark, tmp_path):
+    """Drives the REGISTERED query (not a hand-copied expression, so
+    an edit to the span width or flag threshold in queries.py fails
+    here, not only at the driver gate) over a fuzz corpus written as
+    a documents.parquet table."""
+    from scripts_spark.plans import queries as Q
+
     corpora = _collect(st.lists(DOC, min_size=1, max_size=6))
     docs = []
     for corpus in corpora:
         base = len(docs)
         docs.extend((base + i, toks) for i, toks in enumerate(corpus))
-    df = spark.createDataFrame(
+    spark.createDataFrame(
         [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
-    )
-    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    span = 8
-    spans = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
-        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
-    )
-    p = df.filter(F.col("text").isNotNull() & (F.size(t) > 0)).select(
-        "doc_id", F.explode(spans).alias("span")
-    )
-    n, u = F.count(F.lit(1)), F.count_distinct(F.col("span"))
+    ).write.parquet(f"{tmp_path}/documents.parquet")
     got = {
-        r["doc_id"]: (r["n"], r["u"])
-        for r in p.groupBy("doc_id").agg(n.alias("n"), u.alias("u")).collect()
+        r["doc_id"]: (r["n_spans"], r["n_unique_spans"], r["dup_occurrences"],
+                      r["dup_flag"])
+        for r in Q.REGISTRY["dup_span_stats"](spark, str(tmp_path)).collect()
     }
-    want = {
-        i: (len(_py_spans(toks)), len(set(_py_spans(toks))))
-        for i, toks in docs
-        if toks
-    }
+    want = {}
+    for i, toks in docs:
+        if not toks:
+            continue
+        sp = _py_spans(toks)
+        n, u = len(sp), len(set(sp))
+        want[i] = (n, u, n - u, (n - u) * 5 > n)
     assert got == want
 
 
-def test_dataset_split_matches_python_hash(spark):
-    """The split rule is pure id-hash: replicate it in Python byte-for-
-    byte (md5 hex prefix % 1000 → 96/2/2) and check every assignment,
-    plus append-stability (a subset's assignments never change)."""
+def test_dataset_split_matches_python_hash(spark, tmp_path):
+    """The split rule is pure id-hash: run the REGISTERED query and
+    replicate it in Python byte-for-byte (md5 hex prefix % 1000 →
+    96/2/2), checking every assignment."""
+    from scripts_spark.plans import queries as Q
+
     ids = list(range(0, 400))
-    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000
-    )
-    out = df.select(
-        "doc_id",
-        F.when(h < 960, "train").when(h < 980, "val").otherwise("test").alias("split"),
-    )
-    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    spark.createDataFrame(
+        [(i, "x") for i in ids], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in Q.REGISTRY["dataset_split"](spark, str(tmp_path)).collect()
+    }
 
     def py_split(i):
         hv = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
