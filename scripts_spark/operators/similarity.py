@@ -219,34 +219,33 @@ def md5_sign_matrix(dim: int, planes: int) -> list[list[int]]:
     return rows
 
 
-def banded_near_pairs(emb: DataFrame, bands: int = 8, band_planes: int = 3,
-                      key: str = "vec_id", vec_col: str = "embedding",
-                      dim: int | None = None,
-                      thr_num: int = 81, thr_den: int = 400) -> DataFrame:
-    """Embedding near-dup pairs via BANDED hyperplane LSH — the
-    scale-safe twin of the brute-force pair join (plans/queries.
-    embedding_near_pairs): pairs are enumerated ONLY inside matching
-    (band, bucket) groups, an equi-join, never an unbounded theta join.
+# The ONE parameter set behind the oracle'd banded-LSH pair: the
+# registered bucketed_near_pairs Spark call AND the generated DuckDB
+# SQL (plans/queries._banded_near_sql) both unpack this dict, so the
+# two sides of the value oracle cannot drift independently (changing
+# a plane count or the threshold here changes both engines at once).
+BANDED_ORACLE_PARAMS: dict[str, int] = {
+    "dim": 64, "bands": 8, "band_planes": 3, "thr_num": 81, "thr_den": 400,
+}
 
-    Shape (mirrors pairwise_topk, plus MinHash-style OR-amplification):
-    1. milli-quantize each vector once; n2 = |q|² (exact longs);
-    2. ``bands`` × ``band_planes`` sign-bit projections against the
-       md5-derived ±1 planes — pure JVM array folds over the quantized
-       vector, exact integers, zero Python;
-    3. one posexplode to (key, band, bucket) — ONLY the 8-byte bucket
-       travels per band, not the vector;
-    4. band-bucket self equi-join → distinct candidate pairs
-       (OR across bands recovers the recall a single AND-bucket loses
-       at moderate thresholds);
-    5. verify: join the two quantized vectors back and keep pairs with
-       thr_den·dot² ≥ thr_num·n2a·n2b (defaults: cos ≥ √(81/400) =
-       0.45), dot > 0.
 
-    At 10^12 docs the candidate set is bounded by bucket occupancy
-    (size band_planes against corpus growth — planes_for gives the
-    sizing rule); the verify joins are hash-partitioned equi-joins on
-    pair keys. Every step is engine-portable integer math, so the
-    DuckDB oracle reproduces it bit-exactly."""
+def banded_candidates(
+    emb: DataFrame, bands: int = 8, band_planes: int | None = None,
+    key: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+    target_bucket_rows: int = 32,
+) -> tuple[DataFrame, DataFrame] | None:
+    """Candidate stage of the banded hyperplane LSH, split out so the
+    occupancy-sizing claim is directly measurable (the growth test
+    counts THIS frame at 1× and 10× corpus size): returns
+    (t, cand) where t = (key, _q, _n2) quantized vectors and cand =
+    distinct (key_a, key_b) band-bucket collision pairs, or None for
+    an empty/degenerate input. ``band_planes=None`` sizes the plane
+    count from a count() of the input via planes_for."""
+    if band_planes is None:
+        # p = ceil(log2(n / target)) per band keeps expected bucket
+        # occupancy at ~target_bucket_rows, so candidate pairs grow
+        # ~bands·n·target/2 (linear in n) instead of bands·n²/2^p_fixed
+        band_planes = planes_for(emb.count(), target_bucket_rows)
     if dim is None:
         # max over non-null rows, not first(): first() crashes on an
         # empty frame and a NULL first embedding would yield dim=-1
@@ -255,10 +254,7 @@ def banded_near_pairs(emb: DataFrame, bands: int = 8, band_planes: int = 3,
         row = emb.select(F.max(F.size(vec_col)).alias("d")).first()
         dim = row["d"] if row is not None else None
         if dim is None or dim <= 0:
-            kdt = emb.schema[key].dataType.simpleString()
-            return emb.sparkSession.createDataFrame(
-                [], f"key_a {kdt}, key_b {kdt}, dot long, n2_a long, n2_b long"
-            )
+            return None
     signs = md5_sign_matrix(dim, bands * band_planes)
     zero = F.lit(0).cast("long")
     clean = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
@@ -295,6 +291,58 @@ def banded_near_pairs(emb: DataFrame, bands: int = 8, band_planes: int = 3,
         .select(F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"))
         .distinct()
     )
+    return t, cand
+
+
+def banded_near_pairs(emb: DataFrame, bands: int = 8, band_planes: int | None = 3,
+                      key: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None,
+                      thr_num: int = 81, thr_den: int = 400,
+                      target_bucket_rows: int = 32) -> DataFrame:
+    """Embedding near-dup pairs via BANDED hyperplane LSH — the
+    scale-safe twin of the brute-force pair join (plans/queries.
+    embedding_near_pairs): pairs are enumerated ONLY inside matching
+    (band, bucket) groups, an equi-join, never an unbounded theta join.
+
+    Shape (mirrors pairwise_topk, plus MinHash-style OR-amplification):
+    1. milli-quantize each vector once; n2 = |q|² (exact longs);
+    2. ``bands`` × ``band_planes`` sign-bit projections against the
+       md5-derived ±1 planes — pure JVM array folds over the quantized
+       vector, exact integers, zero Python;
+    3. one posexplode to (key, band, bucket) — ONLY the 8-byte bucket
+       travels per band, not the vector;
+    4. band-bucket self equi-join → distinct candidate pairs
+       (OR across bands recovers the recall a single AND-bucket loses
+       at moderate thresholds);
+    5. verify: join the two quantized vectors back and keep pairs with
+       thr_den·dot² ≥ thr_num·n2a·n2b (defaults: cos ≥ √(81/400) =
+       0.45), dot > 0.
+
+    At 10^12 docs the candidate set is bounded by bucket occupancy —
+    and that bound is now ENFORCED, not advisory: pass
+    ``band_planes=None`` and the plane count per band is derived from
+    the corpus size via planes_for (one count() job), so expected
+    occupancy stays ~target_bucket_rows and candidate enumeration
+    grows ~linearly with n instead of n²/2^p_fixed
+    (tests/test_dedup_similarity.test_banded_candidates_grow_linearly
+    measures the curve at 1× vs 10×). The oracle'd registry query
+    (plans/queries.bucketed_near_pairs) pins band_planes=3 through
+    BANDED_ORACLE_PARAMS because its DuckDB twin must embed the same
+    fixed planes — at fixture scale that matches planes_for's answer;
+    production callers should prefer None. The verify joins are
+    hash-partitioned equi-joins on pair keys. Every step is
+    engine-portable integer math, so the DuckDB oracle reproduces it
+    bit-exactly."""
+    prep = banded_candidates(
+        emb, bands, band_planes, key, vec_col, dim, target_bucket_rows
+    )
+    if prep is None:
+        kdt = emb.schema[key].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"key_a {kdt}, key_b {kdt}, dot long, n2_a long, n2_b long"
+        )
+    t, cand = prep
+    zero = F.lit(0).cast("long")
     va = t.select(
         F.col(key).alias("key_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("n2_a")
     )
@@ -498,7 +546,27 @@ def append_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str,
     Returns the number of appended rows (0 = idempotent no-op, so a
     replayed append is safe). The query path (ann_topk_ivf_indexed)
     is unchanged — appended files land inside the partition dirs the
-    probe already prunes on."""
+    probe already prunes on.
+
+    INSERT-ONLY semantics, deliberately: dedup is by ``key`` alone, so
+    a re-crawled document whose embedding CHANGED is skipped and the
+    stored vector stays authoritative until the next full rebuild —
+    the same no-update contract as an append-only crawl store. Callers
+    that must pick up vector mutations should key the store by
+    (key, content_hash) upstream or schedule rebuilds; silently
+    rewriting partition files per changed row would break concurrent
+    readers and replay idempotence."""
+    import os
+
+    if not os.path.isdir(f"{index_dir}/centroids") or not os.path.isdir(
+        f"{index_dir}/vectors"
+    ):
+        # appending before any build would otherwise surface as an
+        # opaque path-not-found from the parquet reader
+        raise FileNotFoundError(
+            f"no IVF index at {index_dir!r}: run build_ivf_index first "
+            "(append_ivf_index only extends an existing store)"
+        )
     cents = spark.read.parquet(f"{index_dir}/centroids")
     existing = spark.read.parquet(f"{index_dir}/vectors").select(key)
     new = emb.join(existing, key, "left_anti")

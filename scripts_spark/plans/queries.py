@@ -1185,14 +1185,22 @@ def embedding_near_pairs(spark, sf_dir):
     )
 
 
-def _banded_near_sql(dim: int = 64, bands: int = 8, band_planes: int = 3) -> str:
+def _banded_near_sql() -> str:
     """DuckDB twin of similarity.banded_near_pairs: the SAME md5-derived
     ±1 planes (shared Python constant), each projection computed as
     sum(q at +1 positions) − sum(q at −1 positions) via 1-based
     list_select — exact BIGINT math end to end, so the bucket bits and
-    the verify are bit-identical to the Spark plan."""
-    from scripts_spark.operators.similarity import md5_sign_matrix
+    the verify are bit-identical to the Spark plan. EVERY constant
+    (dim, bands, band_planes, threshold) comes from the one shared
+    similarity.BANDED_ORACLE_PARAMS dict the Spark side also unpacks —
+    the two engines cannot drift independently."""
+    from scripts_spark.operators.similarity import BANDED_ORACLE_PARAMS, md5_sign_matrix
 
+    dim = BANDED_ORACLE_PARAMS["dim"]
+    bands = BANDED_ORACLE_PARAMS["bands"]
+    band_planes = BANDED_ORACLE_PARAMS["band_planes"]
+    thr_num = BANDED_ORACLE_PARAMS["thr_num"]
+    thr_den = BANDED_ORACLE_PARAMS["thr_den"]
     signs = md5_sign_matrix(dim, bands * band_planes)
     band_selects = []
     for b in range(bands):
@@ -1236,7 +1244,7 @@ def _banded_near_sql(dim: int = 64, bands: int = 8, band_planes: int = 3) -> str
     SELECT d.vec_a, d.vec_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
     FROM dots d JOIN t na ON na.vec_id = d.vec_a
                 JOIN t nb ON nb.vec_id = d.vec_b
-    WHERE d.dot > 0 AND 400*d.dot*d.dot >= 81*na.n2*nb.n2
+    WHERE d.dot > 0 AND {thr_den}*d.dot*d.dot >= {thr_num}*na.n2*nb.n2
     """
 
 
@@ -1251,12 +1259,14 @@ def bucketed_near_pairs(spark, sf_dir):
     brute-force baseline (an O(n²) vec_id theta join, kept as the exact
     reference), this plan contains no unbounded pair join — candidate
     cost tracks bucket occupancy, which band_planes bounds as the
-    corpus grows (similarity.planes_for). Plan pinned no-cartesian in
-    tests/test_plans.py."""
+    corpus grows (similarity.planes_for; production callers pass
+    band_planes=None for enforced sizing — this oracle pair pins the
+    shared BANDED_ORACLE_PARAMS so both engines embed the same
+    planes). Plan pinned no-cartesian in tests/test_plans.py."""
     from scripts_spark.operators import similarity as S
 
     e = T(spark, sf_dir, "embeddings")
-    out = S.banded_near_pairs(e, bands=8, band_planes=3, dim=64)
+    out = S.banded_near_pairs(e, **S.BANDED_ORACLE_PARAMS)
     return out.select(
         F.col("key_a").alias("vec_a"),
         F.col("key_b").alias("vec_b"),

@@ -141,16 +141,40 @@ def _compacted_through(state_dir: str) -> int:
     if not os.path.exists(p):
         return -1
     with open(p) as f:
-        return int(f.read().strip())
+        raw = f.read().strip()
+    try:
+        return int(raw)
+    except ValueError:
+        # GC has already run against past watermarks, so an unreadable
+        # marker can mean folded partitions are gone — silently treating
+        # it as -1 would double-count nothing but would SHRINK the
+        # merged evidence. Refuse to run on corrupt state.
+        raise RuntimeError(
+            f"corrupt compaction watermark {p!r} (contents {raw!r}): "
+            "state dir needs manual inspection — the marker gates GC of "
+            "folded evidence, so it cannot be guessed"
+        ) from None
 
 
 def _advance_watermark(state_dir: str, batch_id: int) -> None:
+    """Advance the marker DURABLY: fsync the tmp file before the
+    rename and the directory after it. GC of folded partitions keys
+    off this marker, so unlike the evidence writes (whose loss merely
+    replays a batch) a torn/unflushed marker after power loss could
+    orphan already-GC'd evidence — the one non-idempotent step."""
     import os
 
     tmp = f"{state_dir}/COMPACTED_THROUGH.tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, f"{state_dir}/COMPACTED_THROUGH")
+    dfd = os.open(state_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _gc_folded(state_dir: str, sub: str, through: int) -> None:

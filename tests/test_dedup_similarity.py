@@ -379,3 +379,35 @@ def test_containment_indexed_matches_bnlj(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("NestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_banded_candidates_grow_linearly(spark):
+    """The occupancy-sizing claim as a measured curve, not a docstring:
+    with band_planes=None (auto planes_for sizing) a 10x larger corpus
+    of deterministic pseudo-random vectors must produce ~10x the
+    candidate pairs — NOT ~100x, which is what a fixed plane count
+    degrades to (n²/2^p with p frozen). Bound at 30x to absorb the
+    ceil() steps in planes_for and collision variance."""
+    import numpy as np
+
+    rnd = np.random.RandomState(7)
+    dim, bands = 16, 4
+
+    def mk(n):
+        vs = rnd.randn(n, dim)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cand_count(n):
+        t_cand = similarity.banded_candidates(
+            mk(n), bands=bands, band_planes=None, dim=dim, target_bucket_rows=32
+        )
+        assert t_cand is not None
+        return t_cand[1].count()
+
+    c1, c10 = cand_count(300), cand_count(3000)
+    assert c1 > 0
+    assert c10 < 30 * max(c1, 1), (c1, c10)
+    # and the auto-sizing actually moved: 3000 rows need more planes
+    # than 300 at the same occupancy target
+    assert similarity.planes_for(3000, 32) > similarity.planes_for(300, 32)

@@ -465,6 +465,12 @@ def test_boiler_state_compaction_bounds_files(spark, tmpdirs):
     # a batch id BELOW the watermark = checkpoint/state mismatch
     with pytest.raises(ValueError, match="watermark"):
         run(0)
+    # a corrupt/torn watermark marker must fail fast, not int()-crash
+    # or (worse) silently read as -1 with already-GC'd tail partitions
+    with open(f"{state_dir}/COMPACTED_THROUGH", "w") as f:
+        f.write("")
+    with pytest.raises(RuntimeError, match="corrupt compaction watermark"):
+        _compacted_through(state_dir)
 
 
 def test_boiler_state_legacy_schema_fails_fast(spark, tmpdirs):

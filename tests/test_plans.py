@@ -380,6 +380,12 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     a = similarity.ann_topk_ivf_indexed(spark, idx, qv, k=5, n_probe=2)
     b = similarity.ann_topk_ivf(emb, qv, k=5, n_lists=8, n_probe=2, centroids=cents)
     assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+    # append before any build must fail with a clear instruction, not
+    # an opaque parquet path-not-found
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="build_ivf_index first"):
+        similarity.append_ivf_index(spark, emb, str(tmp_path / "never_built"))
 
 
 def test_paragraph_dedup_single_pass(spark):
