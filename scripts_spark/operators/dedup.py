@@ -36,6 +36,16 @@ def exact_duplicates(df: DataFrame, key: str, text_col: str = "text") -> DataFra
     return h.withColumn("is_canonical", F.row_number().over(w) == 1)
 
 
+def _span_array(t: Column, span: int) -> Column:
+    """Consecutive ``span``-token paragraphs of a token array, in
+    document order (shared by the exact and hashed dedup forms so the
+    paragraph unit cannot drift between them)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
+        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
+    )
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", span: int = 8) -> DataFrame:
     """Corpus-wide PARAGRAPH-level exact dedup (the C4/Dolma pattern:
@@ -58,18 +68,15 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     bit-identical results), and its sort-merge join pays the same
     para-sort the window needs anyway. At crawl scale that halves the
     heaviest cost in the plan (tokenize+explode of every document);
-    reassembly is one per-document sort of kept spans. At crawl scale
-    the shuffled key is the paragraph STRING — swap in the
-    hash-then-confirm two-pass (plans/pipeline.boilerplate_sets) to
-    carry 8-byte hashes instead; the one-pass form is kept
-    exact-portable for the value oracle.
+    reassembly is one per-document sort of kept spans. The shuffled
+    key here is the paragraph STRING — exact-portable for the value
+    oracle but a full-corpus-text exchange at crawl scale; production
+    runs use :func:`paragraph_dedup_hashed` (bit-identical output,
+    16-byte double-hash keys, equivalence-tested).
 
     Returns (id, n_paras, n_kept, dedup_text)."""
     t = tokens(F.col(text_col))
-    spans = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
-        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
-    )
+    spans = _span_array(t, span)
     p = (
         docs.filter(F.col(text_col).isNotNull() & (F.size(t) > 0))
         .select(F.col(id_col), F.posexplode(spans).alias("idx", "para"))
@@ -94,6 +101,86 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                 " ",
             ).alias("dedup_text"),
         )
+    )
+
+
+def paragraph_dedup_hashed(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", span: int = 8,
+                           h1=None) -> DataFrame:
+    """PRODUCTION twin of :func:`paragraph_dedup` — identical output
+    (same columns, bit-identical values on any realistic corpus), but
+    the corpus-wide exchange carries a 16-byte DOUBLE HASH of each
+    paragraph instead of the paragraph string:
+
+    1. explode to (id, idx) + h1 = xxhash64(para), h2 = xxhash64
+       ('pd2', para) and DROP the string before the shuffle — the
+       first-occurrence arg-min (corpus-wide min (id, idx) struct per
+       (h1, h2) group) then runs over 32-byte rows where the exact
+       form shuffles every span verbatim (~the whole corpus text, with
+       Zipf-hot boilerplate spans as skew magnets);
+    2. fold the surviving span ordinals into ONE sorted int array per
+       document (a ~n_spans·4-byte row keyed by the doc id — uniform,
+       never hot);
+    3. rebuild dedup_text in a second pass: join that kept-ordinal
+       array back to the docs table on the id and re-derive the span
+       array map-side — text crosses an exchange exactly once, keyed
+       by the uniform document id (and not at all when the corpus is
+       stored bucketed by id, the deployment layout).
+
+    This is the hash-then-confirm pattern of plans/pipeline.
+    boilerplate_sets and the streaming boiler state applied to
+    cross-corpus dedup (ref analog: the reference's own physical-form
+    swap, src/cur-prot/reclassify.py:40-47): a false survivor needs a
+    simultaneous h1 AND h2 collision between distinct spans — 2^-128
+    per pair, negligible birthday risk even at 10^12 spans (a single
+    64-bit hash would NOT be: ~10^24 pairs). The exact string-keyed
+    form stays as the value-oracle anchor; equivalence (including an
+    adversarial h1-collision fixture resolved by h2) is pinned in
+    tests/test_dedup_similarity.py, and the no-string-shuffle claim in
+    tests/test_plans.py.
+
+    ``h1`` is injectable FOR TESTS ONLY (a column function mapping the
+    paragraph to a long) so a crafted h1 collision can prove the
+    confirm hash carries the decision; production always uses the
+    default xxhash64 pair.
+
+    Returns (id, n_paras, n_kept, dedup_text) — same as the exact form.
+    """
+    if h1 is None:
+        h1 = F.xxhash64
+    t = tokens(F.col(text_col))
+    spans = _span_array(t, span)
+    live = docs.filter(F.col(text_col).isNotNull() & (F.size(t) > 0))
+    p = live.select(F.col(id_col), F.posexplode(spans).alias("idx", "para"))
+    hp = p.select(
+        id_col,
+        "idx",
+        h1(F.col("para")).alias("_h1"),
+        F.xxhash64(F.lit("pd2"), F.col("para")).alias("_h2"),
+    )
+    occ = F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
+    w = Window.partitionBy("_h1", "_h2")
+    kept = hp.withColumn("kept", occ == F.min(occ).over(w))
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("kept"), F.col("idx")))
+        ).alias("_kept_idx"),
+    )
+    rebuilt = live.select(F.col(id_col), spans.alias("_spans")).join(
+        per_doc, id_col
+    )
+    return rebuilt.select(
+        id_col,
+        "n_paras",
+        "n_kept",
+        F.array_join(
+            F.transform(
+                F.col("_kept_idx"), lambda i: F.element_at(F.col("_spans"), i + 1)
+            ),
+            " ",
+        ).alias("dedup_text"),
     )
 
 

@@ -3490,47 +3490,54 @@ def pdf_page_locate(spark, sf_dir):
 # keeps its relative registration order after the window and remains
 # value-checked by the local parity suite (tests/test_queries.py runs
 # ALL registered pairs, not just these).
-# Round-5 rotation: the driver checks only the first 50 registered
+# Round-6 rotation: the driver checks only the first 50 registered
 # queries, so slots rotate each round to accumulate driver evidence
 # for the long tail. Promoted this round (all green in the local
-# driver-faithful parity suite): bucketed_near_pairs (NEW — the
-# scale-safe near-dup plan, r4 verdict directive #1), exact_dedup,
-# merge_runs, running_cursor, pdf_page_locate, gopher_rules,
-# benchmark_contamination, session_windows, cube_order_totals,
-# props_nonempty_share, duplicate_id_audit. Demoted (each driver-green
-# in at least rounds 3 AND 4, family still represented):
-# sessionize (→ session_windows covers W1), first_last_order,
-# top_events_per_user, find_toc_status, mode_event_type,
-# distinct_users, semver_sort, stratified_sample (weighted_sample
-# keeps R1), kwic_occurrences, role_gender, json_extract.
+# driver-faithful parity suite): the six round-5 queries
+# (paragraph_dedup, bigram_model_counts, value_quantiles, term_lift,
+# dup_span_stats, dataset_split), paragraph_dedup_fast (NEW — the
+# hash-keyed production twin, sharing paragraph_dedup's exact oracle,
+# r5 verdict directive #1), and the never-driver-green locals
+# tag_after_intro (W7), running_attribution (W8),
+# date_interval_jaccard (W11), chunk_windows, url_canonical,
+# langid_calibration. Demoted (each driver-green in rounds 4 AND 5,
+# family still represented): dedup_unique_only (exact_dedup keeps A7),
+# ngram_jaccard_pairs, embedding_near_pairs (bucketed_near_pairs is
+# the scale path), ann_topk (ivf_assign keeps ANN), doc_fingerprint,
+# customers_no_orders, parts_semi, interval_tier_join, intro_join
+# (J family keeps 6 slots), orders_ratio, coverage_tolerance
+# (extrema_by_nation keeps scalar aggs), predicate_filters
+# (props_nonempty_share keeps P5-P10), doc_stats (pricing_summary
+# keeps grouped sums).
 DRIVER_WINDOW = [
     # flagship quality-filter / scoring path
     "quality_filter", "lang_mismatch", "doc_scoring", "boiler_headers",
     "gopher_rules", "benchmark_contamination",
-    # dedup family (exact, unique-only, groups, MinHash-LSH, n-gram, SimHash)
-    "exact_dedup", "dedup_unique_only", "dedup_groups", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash_pairs", "duplicate_id_audit",
-    # similarity / embeddings (brute force, banded-LSH scale path, IVF,
-    # JL projection, fingerprints)
-    "embedding_near_pairs", "bucketed_near_pairs", "ann_topk", "ivf_assign",
-    "random_projection", "doc_fingerprint",
-    # aggregations
-    "pricing_summary", "wordfreq", "doc_stats", "props_nonempty_share",
-    # joins (broadcast, anti, semi, arbitration, interval, cascade,
-    # containment, as-of, gold-label, map lookup)
-    "revenue_by_nation", "customers_no_orders", "parts_semi",
-    "multival_arbitration", "interval_tier_join", "fuzzy_cascade",
+    # dedup family (exact, groups, MinHash-LSH, SimHash, id audit,
+    # cross-corpus paragraph dedup exact + hashed twin, Gopher spans)
+    "exact_dedup", "dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
+    "duplicate_id_audit", "paragraph_dedup", "paragraph_dedup_fast",
+    "dup_span_stats",
+    # similarity / embeddings (banded-LSH scale path, IVF, JL projection)
+    "bucketed_near_pairs", "ivf_assign", "random_projection",
+    # aggregations + corpus analytics
+    "pricing_summary", "wordfreq", "props_nonempty_share",
+    "value_quantiles", "term_lift", "bigram_model_counts",
+    # joins (broadcast, arbitration, cascade, containment, as-of,
+    # gold-label)
+    "revenue_by_nation", "multival_arbitration", "fuzzy_cascade",
     "containment_pages", "asof_join_purchases", "gold_decade_rollup",
-    "intro_join",
     # windows / sessions / document lifecycle
     "session_windows", "section_lifecycle", "merge_runs", "running_cursor",
-    # scalar agg families (ratio, tolerance, extrema)
-    "orders_ratio", "coverage_tolerance", "extrema_by_nation",
+    "tag_after_intro", "running_attribution", "date_interval_jaccard",
+    # scalar agg families
+    "extrema_by_nation",
     # rollups and orderings
     "rollup_order_totals", "cube_order_totals", "metrics_rollup",
-    # projections / predicates / kernels / sources
-    "predicate_filters", "token_positions", "normalize_ws",
-    "uuid_ordinal_sort", "pdf_page_locate",
+    # projections / kernels / sources / pipeline utilities
+    "token_positions", "normalize_ws", "uuid_ordinal_sort",
+    "pdf_page_locate", "chunk_windows", "url_canonical",
+    "langid_calibration", "dataset_split",
     # model eval, sampling
     "confusion_matrix", "weighted_sample",
 ]
@@ -3954,6 +3961,28 @@ def paragraph_dedup_q(spark, sf_dir):
     return D.paragraph_dedup(T(spark, sf_dir, "documents")).select(
         "doc_id", "n_paras", "n_kept", "dedup_text"
     )
+
+
+@q("paragraph_dedup_fast")
+def paragraph_dedup_fast(spark, sf_dir):
+    """The PRODUCTION form of corpus-wide paragraph dedup
+    (operators/dedup.paragraph_dedup_hashed): first-occurrence
+    arg-min resolved on a 16-byte (xxhash64, confirm-xxhash64) key —
+    the corpus exchange carries 32-byte rows instead of every span
+    string — then text rebuilt in a second pass keyed by the uniform
+    doc id. Output is bit-identical to `paragraph_dedup` (a false
+    merge needs a 2^-128 double collision), so it shares that query's
+    exact-string DuckDB oracle verbatim: the driver value-hashing BOTH
+    forms against one SQL is the equivalence proof at the gate level.
+    No-string-shuffle pinned in tests/test_plans.py."""
+    from scripts_spark.operators import dedup as D
+
+    return D.paragraph_dedup_hashed(T(spark, sf_dir, "documents")).select(
+        "doc_id", "n_paras", "n_kept", "dedup_text"
+    )
+
+
+ORACLES["paragraph_dedup_fast"] = ORACLES["paragraph_dedup"]
 
 
 @q(

@@ -411,3 +411,29 @@ def test_banded_candidates_grow_linearly(spark):
     # and the auto-sizing actually moved: 3000 rows need more planes
     # than 300 at the same occupancy target
     assert similarity.planes_for(3000, 32) > similarity.planes_for(300, 32)
+
+
+def test_paragraph_dedup_hashed_equivalence(spark, docs):
+    """The hash-keyed production twin must be BIT-identical to the
+    exact string-keyed form — on the planted-duplicate fixture, on the
+    real testdata table, and under adversarial h1 collisions:
+    (a) h1 = span length (massive collisions) and (b) h1 = constant 0
+    (EVERY distinct span collides) must both still match exactly,
+    proving the confirm hash alone carries the survivor decision."""
+    td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (docs, td):
+        exact = sorted(tuple(r) for r in dedup.paragraph_dedup(frame).collect())
+        fast = sorted(
+            tuple(r) for r in dedup.paragraph_dedup_hashed(frame).collect()
+        )
+        assert exact == fast
+    exact = sorted(tuple(r) for r in dedup.paragraph_dedup(td).collect())
+    for crafted in (
+        lambda c: F.length(c).cast("long"),
+        lambda c: F.lit(0).cast("long"),
+    ):
+        got = sorted(
+            tuple(r)
+            for r in dedup.paragraph_dedup_hashed(td, h1=crafted).collect()
+        )
+        assert got == exact

@@ -399,6 +399,44 @@ def test_paragraph_dedup_single_pass(spark):
     assert plan.count("Generate") == 1, plan
 
 
+def test_paragraph_dedup_hashed_no_string_shuffle(spark):
+    """The production twin's exchanges must carry NO paragraph string:
+    the arg-min window partitions on the 16-byte (_h1, _h2) double
+    hash (the span string is projected away BEFORE the exchange), and
+    every hashpartitioning key in the plan is hash/id-valued. The
+    rebuild side must not re-explode either — kept ordinals project
+    spans map-side (one Generate total)."""
+    import re
+
+    df = Q.REGISTRY["paragraph_dedup_fast"](spark, SF)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    # window runs over the double hash, never the string
+    assert re.search(r"windowspecdefinition\(_h1#\d+L, _h2#\d+L", plan), plan
+    for m in re.finditer(r"hashpartitioning\([^)]*\)", plan):
+        assert "para#" not in m.group(0), m.group(0)
+    # the exchange feeding the window outputs only (id, idx, h1, h2,
+    # occ-struct): its child Project consumes para INSIDE xxhash64 but
+    # must not pass the string through as a column (a bare `para#N`
+    # list item, as the exact form's exchange has)
+    m = re.search(
+        r"Exchange hashpartitioning\(_h1#\d+L[^\n]*\n\s*\+- Project \[([^\n]*)\]",
+        plan,
+    )
+    assert m, plan
+    items, depth, cur = [], 0, ""
+    for ch in m.group(1):
+        if ch == "," and depth == 0:
+            items.append(cur.strip())
+            cur = ""
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur += ch
+    items.append(cur.strip())
+    assert not any(re.fullmatch(r"para#\d+", it) for it in items), items
+    assert plan.count("Generate") == 1, plan
+
+
 def test_contamination_broadcasts_eval_side(spark):
     """The decontamination join must broadcast the tiny eval-gram side —
     the corpus-sized gram stream must never cross an exchange before

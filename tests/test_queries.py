@@ -126,6 +126,9 @@ def test_driver_window_covers_critical_operators():
         # round 5: the scale-safe near-dup plan + LLM-pipeline rules
         "bucketed_near_pairs", "gopher_rules", "benchmark_contamination",
         "exact_dedup",
+        # round 6: cross-corpus paragraph dedup, exact anchor + the
+        # hash-keyed production twin sharing one oracle
+        "paragraph_dedup", "paragraph_dedup_fast",
     }
     assert critical <= set(first50)
     # every window slot must be value-checkable (has an oracle)
