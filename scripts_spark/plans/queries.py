@@ -4070,9 +4070,9 @@ def value_quantiles(spark, sf_dir):
     is the actual cents value at that rank, so both engines agree
     bit-for-bit (interpolated percentile() would hash-mismatch on
     float midpoints). The rank probe is a 3-row broadcast join; at
-    corpus scale swap the global sort for approx_percentile when the
-    ±1-rank tolerance is acceptable — this exact form is the oracle
-    anchor for that."""
+    corpus scale swap in value_quantiles_approx (percentile_approx
+    sketch, no per-group sort) — its rank-tolerance contract is
+    tested against THIS form as the exact anchor."""
     ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
@@ -4090,6 +4090,44 @@ def value_quantiles(spark, sf_dir):
         .filter(F.col("rn") == rank)
         .select("event_type", "p_milli", F.col("c").alias("n"),
                 F.col("cents").alias("value_cents"))
+    )
+
+
+def value_quantiles_approx(spark, sf_dir, accuracy: int = 10000):
+    """PRODUCTION twin of `value_quantiles` for corpus scale: one
+    map-side-combined percentile_approx (Greenwald-Khanna sketch,
+    rank error <= n/accuracy) per group instead of the exact form's
+    per-group global sort + row_number. Same output schema
+    (event_type, p_milli, n, value_cents); the returned value is a
+    real element of the group within +/-max(1, ceil(n/accuracy))
+    ranks of the exact nearest-rank answer — the tolerance pinned
+    against the exact anchor in tests/test_plans.
+    test_value_quantiles_approx_within_rank_tolerance (the same
+    anchor-twin pattern as paragraph_dedup / paragraph_dedup_fast,
+    with a bounded- rather than zero-divergence contract, which is
+    why this form is NOT registered for the value-hash gate)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "cents", [p / 1000.0 for p in (500, 900, 990)], accuracy
+        ).alias("qs"),
+    )
+    ps = F.array(*[F.lit(p).cast("long") for p in (500, 900, 990)])
+    return agg.select(
+        "event_type",
+        F.posexplode(F.arrays_zip(ps.alias("p"), F.col("qs").alias("v"))).alias(
+            "_i", "_pv"
+        ),
+        "n",
+    ).select(
+        "event_type",
+        F.col("_pv.p").alias("p_milli"),
+        "n",
+        F.col("_pv.v").alias("value_cents"),
     )
 
 
@@ -4138,19 +4176,24 @@ def term_lift(spark, sf_dir):
     tok = d.filter(F.col("text").isNotNull()).select(
         "source", F.explode(_tokens(F.col("text"))).alias("token")
     )
-    # persist: the count table has TWO consumers (the window chain and
-    # the scalar total) and ReusedExchange does not reach across the
-    # broadcast subquery boundary — without the persist the corpus
-    # tokenize+explode re-runs for the one-row total (measured: 2
-    # corpus scans vs 1). The persisted table is vocab x sources rows,
-    # tiny next to the corpus it summarizes.
-    a = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n")).persist()
-    t = a.agg(F.sum("n").alias("t_tot"))
+    a = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
     a = a.withColumn("s_tot", F.sum("n").over(Window.partitionBy("source")))
     a = a.withColumn("g_tot", F.sum("n").over(Window.partitionBy("token")))
+    # the corpus-wide total rides a GLOBAL window over the same count
+    # table instead of a scalar-agg + broadcast join: ReusedExchange
+    # does not reach across a broadcast subquery boundary, so the
+    # two-consumer form either re-ran the corpus tokenize+explode for
+    # the one-row total or needed a .persist() that a registry query
+    # cannot release (it never owns an action — round-5 verdict
+    # flagged exactly that leak into the shared 105-query session).
+    # The single-partition window touches only the vocab x sources
+    # count table (KBs here; at 10^12 tokens swap in persist/unpersist
+    # around an owned action in the CLI, or two-level-sum the s_tot
+    # rows — the corpus-side plan is identical either way: ONE scan,
+    # pinned in tests/test_plans.test_term_lift_single_scan_no_cache).
+    a = a.withColumn("t_tot", F.sum("n").over(Window.partitionBy()))
     lift = (
-        a.crossJoin(F.broadcast(t))
-        .filter(F.col("n") >= 5)
+        a.filter(F.col("n") >= 5)
         .withColumn(
             "lift_milli",
             F.expr("(n * t_tot * 1000) div (g_tot * s_tot)").cast("long"),

@@ -459,3 +459,57 @@ def test_new_scan_queries_are_single_pass(spark):
         assert "Join" not in plan, (name, plan)
         n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
         assert n_ex <= max_exchanges, (name, n_ex)
+
+
+def test_term_lift_single_scan_no_cache(spark):
+    """term_lift's three marginals + the corpus total must all derive
+    from the ONE (source, token) count table — a single corpus scan —
+    and the query must leave no cached RDD behind: a registry query
+    never owns an action, so a .persist() it takes can never be
+    released into the shared multi-query session (round-5 verdict)."""
+    spark.catalog.clearCache()
+    df = Q.REGISTRY["term_lift"](spark, SF)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert len(df.collect()) > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_value_quantiles_approx_within_rank_tolerance(spark):
+    """The percentile_approx production twin must return, per (group,
+    percentile), an actual element of the group whose RANK is within
+    max(1, ceil(n/accuracy)) of the exact nearest-rank anchor — the
+    bounded-divergence contract that justifies swapping the exact
+    per-group sort for a sketch at corpus scale. Also pin the plan:
+    partial-aggregable HashAggregate, no Window/global sort."""
+    import math
+
+    exact = {
+        (r["event_type"], r["p_milli"]): r["value_cents"]
+        for r in Q.REGISTRY["value_quantiles"](spark, SF).collect()
+    }
+    approx_df = Q.value_quantiles_approx(spark, SF, accuracy=10000)
+    plan = _plan(approx_df).split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan
+    assert "partial_percentile" in plan or "HashAggregate" in plan, plan
+    approx = approx_df.collect()
+    assert len(approx) == len(exact)
+    # group values, sorted, for rank lookup
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter("value is not null")
+    vals = {}
+    for r in ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["cents"])
+    for v in vals.values():
+        v.sort()
+    for r in approx:
+        g, p, n, got = r["event_type"], r["p_milli"], r["n"], r["value_cents"]
+        s = vals[g]
+        assert n == len(s)
+        target = max(1, -(-n * p // 1000))  # ceil(n*p/1000), rank 1-based
+        tol = max(1, math.ceil(n / 10000))
+        lo, hi = max(1, target - tol), min(n, target + tol)
+        allowed = set(s[lo - 1 : hi])
+        assert got in allowed, (g, p, got, s[lo - 1 : hi], exact[(g, p)])
