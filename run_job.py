@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--salt", type=int, default=0)
     c.add_argument("--snapshot", default="cli")
     c.add_argument("--scorer", choices=["arrow", "join"], default="arrow")
+    c.add_argument("--para-dedup", action="store_true",
+                   help="corpus-wide paragraph dedup stage (post-boiler, "
+                        "pre-rules; adds the para_dup_frac reason)")
 
     k = sub.add_parser("check")
     k.add_argument("--decisions", required=True)
@@ -149,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(a.input)
         cfg = CurateConfig(
             num_buckets=a.buckets, salt=a.salt, input_snapshot=a.snapshot,
-            scorer=a.scorer,
+            scorer=a.scorer, para_dedup=a.para_dedup,
         )
         dec = curate(df, cfg)
         stats = catalog.commit_buckets(dec, a.output)

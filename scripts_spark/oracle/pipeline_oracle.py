@@ -42,6 +42,9 @@ class OracleConfig:
     boiler_frac_den: int = 10
     boiler_doc_num: int = 1
     boiler_doc_den: int = 2
+    para_dedup: bool = False
+    para_dup_num: int = 3
+    para_dup_den: int = 10
 
 
 def domain_of(url: str) -> str:
@@ -87,11 +90,33 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
         if n > cfg.boiler_min_docs and n * cfg.boiler_frac_den > dom_docs[dom] * cfg.boiler_frac_num
     }
 
+    # corpus-wide paragraph dedup (opt-in): the survivor of a repeated
+    # post-boiler paragraph is its first occurrence in (url, idx)
+    # order — iterating urls ascending with a seen-set is exactly the
+    # pipeline's min-(url, pidx) arg-min (within-doc repeats drop too)
+    kept_by_url = {
+        url: [p for p in paras[url] if (domain_of(url), p) not in boiler]
+        for url in by_url
+    }
+    dup_by_url: dict[str, int] = {url: 0 for url in by_url}
+    if cfg.para_dedup:
+        seen: set[str] = set()
+        for url in sorted(by_url):
+            survivors = []
+            for p in kept_by_url[url]:
+                if p in seen:
+                    dup_by_url[url] += 1
+                else:
+                    seen.add(p)
+                    survivors.append(p)
+            kept_by_url[url] = survivors
+
     out: dict[str, dict] = {}
     for url, r in by_url.items():
         dom = domain_of(url)
         plist = paras[url]
-        kept = [p for p in plist if (dom, p) not in boiler]
+        n_kept_pre_dedup = len(kept_by_url[url]) + dup_by_url[url]
+        kept = kept_by_url[url]
         scrubbed = textoracle.scrub_all("\n".join(kept))
 
         toks = textoracle.tokens(scrubbed)
@@ -109,7 +134,8 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
         n_letters = len(_LETTER.findall(scrubbed))
         n_upper = len(_UPPER.findall(scrubbed))
         paras_total = len(plist)
-        paras_boiler = paras_total - len(kept)
+        paras_boiler = paras_total - n_kept_pre_dedup
+        paras_dup = dup_by_url[url]
 
         lang_pred = langmodel.lang_decision(lang_score)
         reasons = []
@@ -127,6 +153,11 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
             reasons.append("caps_ratio")
         if paras_total > 0 and paras_boiler * cfg.boiler_doc_den > paras_total * cfg.boiler_doc_num:
             reasons.append("boilerplate")
+        if (
+            n_kept_pre_dedup > 0
+            and paras_dup * cfg.para_dup_den > n_kept_pre_dedup * cfg.para_dup_num
+        ):
+            reasons.append("para_dup_frac")
         if lang_pred != "sv":
             reasons.append("lang")
         if n_bigrams > 0 and ppx_sum > langmodel.PPX_THRESHOLD_MILLI * n_bigrams:

@@ -40,12 +40,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from itertools import chain
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from scripts_spark.functions import ids, langid, langmodel, perplexity, scoring_join, scoring_udf, text_kernel
 from scripts_spark.sources.pages import domain_of
 
-PIPELINE_VERSION = "1.2"  # 1.2: toxicity lexicon scrub after PII
+PIPELINE_VERSION = "1.3"  # 1.3: opt-in corpus paragraph-dedup stage
 
 
 @dataclass(frozen=True)
@@ -84,6 +84,15 @@ class CurateConfig:
     # number, not a design argument. Output is identical either way —
     # the knob changes physical layout only.
     repartition_mode: str = "salted"  # "salted" | "domain"
+    # opt-in CORPUS-WIDE paragraph dedup (the C4/Dolma pattern) after
+    # boilerplate strip, before the quality rules: a paragraph
+    # repeated across documents survives only at its corpus-wide first
+    # occurrence (min (url, idx)); the para_dup_frac reason fires when
+    # > para_dup_num/para_dup_den of a doc's post-boiler paragraphs
+    # were such repeats (Gopher's duplicate-paragraph-fraction rule).
+    para_dedup: bool = False
+    para_dup_num: int = 3
+    para_dup_den: int = 10
 
     def rule_versions(self) -> dict[str, str]:
         rv = dict(text_kernel.KERNEL_VERSIONS)
@@ -91,6 +100,11 @@ class CurateConfig:
         rv["thresholds"] = (
             f"len{self.min_chars}-rep{self.rep_num}/{self.rep_den}"
             f"-ppx{langmodel.PPX_THRESHOLD_MILLI}"
+        )
+        rv["para_dedup"] = (
+            f"on-{self.para_dup_num}/{self.para_dup_den}"
+            if self.para_dedup
+            else "off"
         )
         return rv
 
@@ -257,6 +271,55 @@ def boiler_line_evidence(docs: DataFrame, cfg: CurateConfig) -> tuple[DataFrame,
     return line_docs, dom_docs
 
 
+def _corpus_para_dedup(d: DataFrame, cfg: CurateConfig) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup over the
+    boiler-stripped kept_paras — the PRODUCTION hash-keyed form
+    (operators/dedup.paragraph_dedup_hashed, same two-pass): explode
+    to (url, pidx) + a 16-byte (xxhash64, confirm-xxhash64) key — the
+    paragraph string never crosses the dedup exchange — resolve the
+    arg-min survivor per key with one window, fold surviving ordinals
+    into a per-doc int array, and join that tiny array back on the
+    uniform url key to rebuild kept_paras map-side.
+
+    Deterministic BY CONSTRUCTION for resume: the survivor of a
+    repeated paragraph is the corpus-wide lexicographic min
+    (url, pidx), a pure function of the full input — so a resumed run
+    that recomputes globally but writes only uncommitted buckets
+    (catalog.commit_buckets) reproduces exactly the decisions of the
+    crashed run (pinned in tests/test_resume.py). A false merge needs
+    a 2^-128 double-hash collision between distinct paragraphs.
+
+    Adds ``paras_dup`` (how many of this doc's post-boiler paragraphs
+    were dropped as earlier-seen) and rewrites ``kept_paras``."""
+    ex = d.select("url", F.posexplode("kept_paras").alias("pidx", "para"))
+    hp = ex.select(
+        "url",
+        "pidx",
+        F.xxhash64("para").alias("_h1"),
+        F.xxhash64(F.lit("pd2"), F.col("para")).alias("_h2"),
+    )
+    occ = F.struct(F.col("url").alias("u"), F.col("pidx").alias("i"))
+    w = Window.partitionBy("_h1", "_h2")
+    flags = hp.withColumn("_kept", occ == F.min(occ).over(w))
+    per_doc = flags.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("_kept"), F.col("pidx")))
+        ).alias("_kept_idx")
+    )
+    # left join: a doc whose kept_paras is already empty has no
+    # exploded rows, hence no per_doc row — it keeps an empty array
+    d = d.join(per_doc, "url", "left")
+    kidx = F.coalesce(F.col("_kept_idx"), F.array().cast("array<int>"))
+    return (
+        d.withColumn("paras_dup", F.size("kept_paras") - F.size(kidx))
+        .withColumn(
+            "kept_paras",
+            F.transform(kidx, lambda i: F.element_at(F.col("kept_paras"), i + 1)),
+        )
+        .drop("_kept_idx")
+    )
+
+
 def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
     """Ordered reason array; every test is integer-exact."""
     tests = [
@@ -287,6 +350,17 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
             "boilerplate",
             (c["paras_total"] > 0)
             & (c["paras_boiler"] * cfg.boiler_doc_den > c["paras_total"] * cfg.boiler_doc_num),
+        ),
+        # para_dup_frac is measured against the POST-boiler paragraph
+        # count (the dedup stage's own input); with para_dedup off,
+        # paras_dup is the literal 0 and the test is vacuously false
+        (
+            "para_dup_frac",
+            (c["paras_total"] - c["paras_boiler"] > 0)
+            & (
+                c["paras_dup"] * cfg.para_dup_den
+                > (c["paras_total"] - c["paras_boiler"]) * cfg.para_dup_num
+            ),
         ),
         ("lang", c["lang_pred"] != "sv"),
         ("perplexity", c["ppx_flag"]),
@@ -325,11 +399,15 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         d.withColumn("paras_total", F.size("paras"))
         .withColumn("kept_paras", kept)
         .withColumn("paras_boiler", F.col("paras_total") - F.size("kept_paras"))
-        .withColumn(
-            "scrubbed_text", text_kernel.scrub_all(F.array_join("kept_paras", "\n"))
-        )
-        .drop("boiler_set", "paras", "kept_paras")
+        .drop("boiler_set", "paras")
     )
+    if cfg.para_dedup:
+        d = _corpus_para_dedup(d, cfg)
+    else:
+        d = d.withColumn("paras_dup", F.lit(0))
+    d = d.withColumn(
+        "scrubbed_text", text_kernel.scrub_all(F.array_join("kept_paras", "\n"))
+    ).drop("kept_paras")
 
     st = F.col("scrubbed_text")
     # With the arrow scorer the rest of the plan is one linear pass —
@@ -403,6 +481,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
             "n_upper",
             "paras_total",
             "paras_boiler",
+            "paras_dup",
             "lang_pred",
             "ppx_flag",
         ]

@@ -124,3 +124,56 @@ def test_repartition_mode_is_physical_only(spark):
     ra = sorted(tuple(r[c] for c in cols) for r in a.select(cols).collect())
     rb = sorted(tuple(r[c] for c in cols) for r in b.select(cols).collect())
     assert ra == rb
+
+
+def test_para_dedup_stage_parity_and_reasons(spark):
+    """The opt-in corpus paragraph-dedup stage (CurateConfig.
+    para_dedup): Spark's hash-keyed two-pass must match the oracle's
+    seen-set recomputation EXACTLY — keep decision, sorted reasons,
+    byte-identical scrubbed_text and doc_id per url — on a fixture
+    with planted full-copy and half-copy documents; the para_dup_frac
+    reason must actually fire; and the stage must be off by default
+    (paras_dup literal 0, output unchanged)."""
+    from scripts_spark.sources import pages as P
+
+    base = P.gen_rows(range(250))
+    planted = []
+    for k in range(20):  # full copies: every paragraph already seen
+        planted.append(
+            dict(base[k], url=f"https://dupfarm.example.com/copy{k}")
+        )
+    for k in range(10):  # half copies: dup head + unique tail
+        src_lines = (base[30 + k]["text"] or "").split("\n")
+        planted.append(
+            dict(
+                base[30 + k],
+                url=f"https://mix.example.com/m{k}",
+                text="\n".join(
+                    src_lines + [f"helt unik rad nummer {k} aldrig sedd förr"]
+                ),
+            )
+        )
+    rows = base + planted
+    df = spark.createDataFrame(rows, P.PAGES_SCHEMA)
+    out = {
+        r["url"]: r.asDict()
+        for r in pipeline.curate(
+            df, pipeline.CurateConfig(num_buckets=8, para_dedup=True)
+        ).collect()
+    }
+    ora = pipeline_oracle.curate_rows(
+        rows, pipeline_oracle.OracleConfig(para_dedup=True)
+    )
+    assert set(out) == set(ora)
+    for url, o in ora.items():
+        s = out[url]
+        assert s["keep"] == o["keep"], url
+        assert list(s["filter_reasons"]) == o["filter_reasons"], url
+        assert s["scrubbed_text"] == o["scrubbed_text"], url
+        assert s["doc_id"] == o["doc_id"], url
+    fired = [u for u, o in ora.items() if "para_dup_frac" in o["filter_reasons"]]
+    assert len(fired) >= 20, len(fired)  # every full copy must trip it
+    # default path unchanged: stage off → different scrub for planted docs
+    off = pipeline_oracle.curate_rows(rows)
+    assert any(off[u]["scrubbed_text"] != ora[u]["scrubbed_text"] for u in ora)
+    assert all("para_dup_frac" not in off[u]["filter_reasons"] for u in off)

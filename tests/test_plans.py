@@ -513,3 +513,25 @@ def test_value_quantiles_approx_within_rank_tolerance(spark):
         lo, hi = max(1, target - tol), min(n, target + tol)
         allowed = set(s[lo - 1 : hi])
         assert got in allowed, (g, p, got, s[lo - 1 : hi], exact[(g, p)])
+
+
+def test_curate_para_dedup_hash_keyed_exchange(spark):
+    """The pipeline's paragraph-dedup stage must shuffle 16-byte hash
+    keys like the standalone production twin — the window partitions
+    on (_h1, _h2), never the paragraph string."""
+    import re
+
+    dec = curate(
+        pages_df(spark, 60, partitions=2),
+        CurateConfig(num_buckets=4, para_dedup=True),
+    )
+    plan = _plan(dec).split("== Initial Plan ==")[0]
+    assert re.search(r"windowspecdefinition\(_h1#\d+L, _h2#\d+L", plan), plan
+    # the only paragraph-string exchange allowed in the whole plan is
+    # boilerplate's (domain, para) candidate RECOUNT — a near-empty
+    # semi-joined stream by design; the corpus-sized dedup explode
+    # must never shuffle on para
+    for m in re.finditer(r"hashpartitioning\([^)]*\)", plan):
+        if "para#" in m.group(0):
+            assert m.group(0).startswith("hashpartitioning(domain#"), m.group(0)
+    assert not re.search(r"hashpartitioning\(para#", plan), plan

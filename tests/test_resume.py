@@ -126,3 +126,46 @@ def test_snapshot_time_travel(spark, outdir):
     full = catalog.read_output(spark, outdir)
     assert set(r["bucket"] for r in v0.select("bucket").distinct().collect()) == {0, 1, 2, 3}
     assert v1.count() == full.count() > v0.count()
+
+
+def test_resume_with_para_dedup_stage(spark, outdir):
+    """Resume semantics extend through the corpus paragraph-dedup
+    stage: its survivor rule (corpus-wide min (url, pidx)) is a pure
+    function of the FULL input, so a resumed run — which recomputes
+    globally but commits only the missing buckets — must reproduce
+    byte-identical scrubbed text, reasons, and doc ids for every url,
+    including docs whose paragraphs were deduped against docs living
+    in already-committed buckets."""
+    cfg = CurateConfig(num_buckets=8, para_dedup=True)
+
+    def dec():
+        df = pages_df(spark, 300, partitions=4)
+        # plant cross-bucket duplicate content so dedup decisions span
+        # the commit boundary: copy doc texts onto fresh urls
+        extra = df.limit(0)
+        dup = df.filter(F.xxhash64("url") % 10 == 0).select(
+            F.concat(F.lit("https://resume-dup.example.com/"),
+                     F.sha1("url")).alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+        return curate(df.unionByName(dup).unionByName(extra), cfg)
+
+    partial = dec().filter(F.col("bucket") < 4)
+    catalog.commit_buckets(partial, outdir)
+    stats = catalog.commit_buckets(dec(), outdir)
+    assert stats["committed_buckets"] == 4
+
+    clean = tempfile.mkdtemp()
+    try:
+        catalog.commit_buckets(dec(), clean)
+        cols = ["url", "doc_id", "keep", "scrubbed_text"]
+        got = {tuple(r[c] for c in cols)
+               for r in catalog.read_output(spark, outdir).select(cols).collect()}
+        want = {tuple(r[c] for c in cols)
+                for r in catalog.read_output(spark, clean).select(cols).collect()}
+        assert got == want and len(got) > 300
+        reasons = catalog.read_output(spark, outdir).select(
+            F.explode("filter_reasons").alias("r")).distinct().collect()
+        assert "para_dup_frac" in {r["r"] for r in reasons}
+    finally:
+        shutil.rmtree(clean, ignore_errors=True)
