@@ -21,6 +21,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from bench_worker import plan_digest
 from scripts_spark.plans import queries as Q
 from scripts_spark.plans.pipeline import CurateConfig, curate
 from scripts_spark.session import get_spark
@@ -54,6 +55,76 @@ def replicated_pages(spark, sf_dir: str, k: int):
     )
 
 
+class _ControlWorker:
+    """Long-lived control arm for same-window ABAB adjudication: a
+    bench_worker.py subprocess pointed at $BENCH_CONTROL_DIR (a clone
+    of a previous-round commit) running ITS code in ITS own JVM. The
+    parent alternates each sample — HEAD trial, then the identical
+    control trial seconds later — so every per-query row in the JSON
+    carries same-minute A and B measurements; a host steal burst hits
+    both arms or neither, instead of one arm's whole block (the
+    round-5 bench's −30% headline was exactly that failure mode).
+    rpc() blocks until the reply, so the two JVMs never compete for
+    cores within a sample."""
+
+    def __init__(self, ctrl_dir: str):
+        import queue
+        import subprocess
+        import threading
+
+        self.dir = ctrl_dir
+        self.commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=ctrl_dir,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        worker = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_worker.py"
+        )
+        self.p = subprocess.Popen(
+            [sys.executable, worker, ctrl_dir],
+            cwd=ctrl_dir,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            env=dict(os.environ, BENCH_IS_CONTROL="1"),
+        )
+        self._lines: "queue.Queue[str | None]" = queue.Queue()
+
+        def _read() -> None:
+            for ln in self.p.stdout:
+                if ln.startswith("@@ "):
+                    self._lines.put(ln[3:])
+            self._lines.put(None)
+
+        threading.Thread(target=_read, daemon=True).start()
+
+    def rpc(self, timeout: float = 900.0, **cmd) -> dict:
+        import queue
+
+        self.p.stdin.write(json.dumps(cmd) + "\n")
+        self.p.stdin.flush()
+        try:
+            ln = self._lines.get(timeout=timeout)
+        except queue.Empty:
+            self.p.kill()
+            raise RuntimeError(f"control worker timeout on {cmd.get('cmd')}")
+        if ln is None:
+            raise RuntimeError("control worker exited")
+        return json.loads(ln)
+
+    def close(self) -> None:
+        try:
+            self.rpc(cmd="quit", timeout=30)
+        except Exception:
+            pass
+        try:
+            self.p.kill()
+        except Exception:
+            pass
+
+
 def force(df) -> None:
     """Execute the full plan including every output column: a count()
     would let Catalyst prune the per-row compute (scrub regexes,
@@ -85,6 +156,42 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    # Same-window control arm (ABAB): started and warmed before any
+    # timed sample, so both JVMs are equally settled. Falls back to a
+    # HEAD-only run (control carries the error) if the clone is
+    # missing or its worker dies — evidence, never a bench failure.
+    worker: _ControlWorker | None = None
+    control: dict | None = None
+    if os.environ.get("BENCH_IS_CONTROL") != "1" and os.environ.get("BENCH_ABAB", "1") != "0":
+        ctrl_dir = os.environ.get("BENCH_CONTROL_DIR", "/tmp/spark_graft_control")
+        if os.path.isdir(os.path.join(ctrl_dir, "scripts_spark")):
+            try:
+                worker = _ControlWorker(ctrl_dir)
+                worker.rpc(cmd="warmup", buckets=BUCKETS, timeout=1800)
+                control = {
+                    "commit": worker.commit,
+                    "abab": True,
+                    "queries": {},
+                    "plans_identical": {},
+                    "errors": {},
+                }
+            except Exception as ex:
+                control = {"error": str(ex)[:200]}
+                worker = None
+
+    def _crpc(**cmd):
+        """Control rpc that degrades to None (and records why) instead
+        of failing the bench if the worker dies mid-run."""
+        nonlocal worker
+        if worker is None:
+            return None
+        try:
+            return worker.rpc(**cmd)
+        except Exception as ex:
+            control["error"] = str(ex)[:200]
+            worker = None
+            return None
+
     timings: dict[str, float] = {}
     n_base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     n_trials = int(os.environ.get("BENCH_TRIALS", "2"))
@@ -110,11 +217,26 @@ def main() -> None:
     ]
     for name in bench_queries:
         best = float("inf")
+        cbest = float("inf")
         for _ in range(n_trials):  # min-of-trials vs host CPU-steal noise
             t0 = time.perf_counter()
             force(Q.REGISTRY[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
+            r = _crpc(cmd="q", name=name)  # B sample, seconds after A
+            if r is not None:
+                if r.get("ok"):
+                    cbest = min(cbest, r["sec"])
+                else:
+                    control["errors"][name] = r.get("error")
         timings[name] = best
+        if worker is not None and cbest < float("inf"):
+            control["queries"][name] = round(cbest, 3)
+            r = _crpc(cmd="digest", name=name, timeout=300)
+            control["plans_identical"][name] = bool(
+                r is not None
+                and r.get("ok")
+                and r.get("digest") == plan_digest(Q.REGISTRY[name](spark, SF_DIR))
+            )
 
     def _settle():
         spark.catalog.clearCache()
@@ -127,7 +249,9 @@ def main() -> None:
     # is materially more burst-robust than min-of-2 for the one number
     # the round is graded on
     curate_trials = int(os.environ.get("BENCH_CURATE_TRIALS", str(max(3, n_trials))))
+    _crpc(cmd="settle", timeout=120)
     trials = []
+    ctrials: list[float] = []
     for _ in range(curate_trials):
         t0 = time.perf_counter()
         pages = replicated_pages(spark, SF_DIR, REPLICATE)
@@ -135,8 +259,26 @@ def main() -> None:
         force(dec)
         trials.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
+        r = _crpc(cmd="curate", k=REPLICATE, buckets=BUCKETS, timeout=1800)
+        if r is not None and r.get("ok"):
+            ctrials.append(r["sec"])
     timings["curate"] = min(trials)  # min-of-trials vs host CPU-steal noise
     n_docs = n_base * REPLICATE  # one decision row per distinct url
+    if ctrials:
+        control["queries"]["curate"] = round(min(ctrials), 3)
+        control["docs_per_sec"] = round(n_docs / min(ctrials), 1)
+        r = _crpc(cmd="curate_digest", k=REPLICATE, buckets=BUCKETS, timeout=600)
+        control["plans_identical"]["curate"] = bool(
+            r is not None
+            and r.get("ok")
+            and r.get("digest")
+            == plan_digest(
+                curate(
+                    replicated_pages(spark, SF_DIR, REPLICATE),
+                    CurateConfig(num_buckets=BUCKETS, input_snapshot="bench"),
+                )
+            )
+        )
 
     # Endurance row: 10x the flagship input (≈2M docs at sf0.1), one
     # trial — amortized-scale throughput where stage fixed costs vanish;
@@ -155,6 +297,16 @@ def main() -> None:
         timings["curate_endurance"] = time.perf_counter() - t0
         endurance_docs = n_base * REPLICATE * 10
         spark.catalog.clearCache()
+        r = _crpc(
+            cmd="curate",
+            k=REPLICATE * 10,
+            buckets=BUCKETS,
+            snapshot="endurance",
+            timeout=3000,
+        )
+        if r is not None and r.get("ok"):
+            control["queries"]["curate_endurance"] = r["sec"]
+            control["endurance_docs_per_sec"] = round(endurance_docs / r["sec"], 1)
 
     # total excludes the endurance row so "value" stays comparable with
     # the pre-endurance rounds (r1/r2)
@@ -182,8 +334,11 @@ def main() -> None:
     scaling = _scaling_block()
     if scaling is not None:
         out["scaling"] = scaling
-    control = _control_run()
+    if worker is not None:
+        worker.close()
     if control is not None:
+        if not control.get("errors", True):
+            del control["errors"]
         out["control"] = control
     prev = _previous_round()
     if prev is not None:
@@ -311,45 +466,6 @@ def _scaling_block() -> dict | None:
         "four_n_cores": d.get("four_n_cores"),
         "pass": d.get("pass"),
     }
-
-
-def _control_run() -> dict | None:
-    """Same-window A/B control: if a clone of a previous-round commit
-    exists at $BENCH_CONTROL_DIR (default /tmp/spark_graft_control),
-    run ITS bench.py — the FULL row set, so micro-query regressions are
-    attributable too, not only the flagship — immediately after this
-    run's measurements and embed its numbers. This is the repo's own
-    regression discipline (BENCH.md): on a box with documented 6x
-    steal swings, a slowdown is attributable only against a control
-    measured in the same window — identical input, identical env,
-    minutes apart."""
-    import subprocess
-
-    if os.environ.get("BENCH_IS_CONTROL") == "1":
-        return None
-    ctrl_dir = os.environ.get("BENCH_CONTROL_DIR", "/tmp/spark_graft_control")
-    if not os.path.isdir(os.path.join(ctrl_dir, "scripts_spark")):
-        return None
-    env = dict(os.environ, BENCH_IS_CONTROL="1")
-    try:
-        r = subprocess.run(
-            [sys.executable, "bench.py"], cwd=ctrl_dir, env=env,
-            capture_output=True, text=True, timeout=2400, check=True,
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')][-1]
-        d = json.loads(line)
-        commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], cwd=ctrl_dir,
-            capture_output=True, text=True,
-        ).stdout.strip()
-        return {
-            "commit": commit,
-            "queries": d.get("queries"),
-            "docs_per_sec": d.get("docs_per_sec"),
-            "endurance_docs_per_sec": d.get("endurance_docs_per_sec"),
-        }
-    except Exception as ex:  # control is evidence, never a bench failure
-        return {"error": str(ex)[:200]}
 
 
 def _previous_round() -> dict | None:

@@ -45,7 +45,11 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from scripts_spark.functions import ids, langid, langmodel, perplexity, scoring_join, scoring_udf, text_kernel
 from scripts_spark.sources.pages import domain_of
 
-PIPELINE_VERSION = "1.3"  # 1.3: opt-in corpus paragraph-dedup stage
+PIPELINE_VERSION = "1.2"  # 1.2: toxicity lexicon scrub after PII
+# The opt-in paragraph-dedup stage does NOT bump this: with it off,
+# row semantics (and the physical plan, byte-for-byte) are exactly
+# 1.2 — bench plan-identity digests depend on that — and with it on,
+# the lineage already carries its own "para_dedup" rule-version key.
 
 
 @dataclass(frozen=True)
@@ -101,11 +105,12 @@ class CurateConfig:
             f"len{self.min_chars}-rep{self.rep_num}/{self.rep_den}"
             f"-ppx{langmodel.PPX_THRESHOLD_MILLI}"
         )
-        rv["para_dedup"] = (
-            f"on-{self.para_dup_num}/{self.para_dup_den}"
-            if self.para_dedup
-            else "off"
-        )
+        # only recorded when the stage is ON: with it off the whole
+        # plan (lineage literals included) must stay byte-identical to
+        # pipeline 1.2, so bench plan-identity digests vs a
+        # previous-round control clone read true
+        if self.para_dedup:
+            rv["para_dedup"] = f"on-{self.para_dup_num}/{self.para_dup_den}"
         return rv
 
 
@@ -351,20 +356,25 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
             (c["paras_total"] > 0)
             & (c["paras_boiler"] * cfg.boiler_doc_den > c["paras_total"] * cfg.boiler_doc_num),
         ),
-        # para_dup_frac is measured against the POST-boiler paragraph
-        # count (the dedup stage's own input); with para_dedup off,
-        # paras_dup is the literal 0 and the test is vacuously false
-        (
-            "para_dup_frac",
-            (c["paras_total"] - c["paras_boiler"] > 0)
-            & (
-                c["paras_dup"] * cfg.para_dup_den
-                > (c["paras_total"] - c["paras_boiler"]) * cfg.para_dup_num
-            ),
-        ),
         ("lang", c["lang_pred"] != "sv"),
         ("perplexity", c["ppx_flag"]),
     ]
+    if cfg.para_dedup:
+        # para_dup_frac is measured against the POST-boiler paragraph
+        # count (the dedup stage's own input); with the stage off the
+        # test is omitted entirely (not a vacuous lit(0) predicate) so
+        # the off-plan stays byte-identical to pipeline 1.2. Position
+        # in this list is cosmetic: reasons are array_sort'ed.
+        tests.append(
+            (
+                "para_dup_frac",
+                (c["paras_total"] - c["paras_boiler"] > 0)
+                & (
+                    c["paras_dup"] * cfg.para_dup_den
+                    > (c["paras_total"] - c["paras_boiler"]) * cfg.para_dup_num
+                ),
+            )
+        )
     arr = F.array(*[F.when(cond, F.lit(name)) for name, cond in tests])
     return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
 
@@ -403,8 +413,6 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     )
     if cfg.para_dedup:
         d = _corpus_para_dedup(d, cfg)
-    else:
-        d = d.withColumn("paras_dup", F.lit(0))
     d = d.withColumn(
         "scrubbed_text", text_kernel.scrub_all(F.array_join("kept_paras", "\n"))
     ).drop("kept_paras")
@@ -481,7 +489,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
             "n_upper",
             "paras_total",
             "paras_boiler",
-            "paras_dup",
+            *(["paras_dup"] if cfg.para_dedup else []),
             "lang_pred",
             "ppx_flag",
         ]
