@@ -4131,9 +4131,7 @@ def value_quantiles_approx(spark, sf_dir, accuracy: int = 10000):
     )
 
 
-@q(
-    "term_lift",
-    """
+_TERM_LIFT_SQL = """
     WITH tok AS (
       SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
       FROM documents WHERE text IS NOT NULL),
@@ -4153,15 +4151,40 @@ def value_quantiles_approx(spark, sf_dir, accuracy: int = 10000):
                                 ORDER BY lift_milli DESC, token) AS rn
       FROM lift)
     WHERE rn <= 5
-    """,
-)
+    """
+
+
+def lift_milli_expr(wide: bool):
+    """The lift arithmetic, in two widths over columns
+    (n, t_tot, g_tot, s_tot):
+
+    - narrow (longs): exact while n·T·1000 fits BIGINT — true up to
+      ~10^9 docs, and ANSI mode makes the failure loud, not wrong;
+    - wide: operands cast to DECIMAL(18,0) first, so the products live
+      in DECIMAL(38,0) (n, T ≤ 10^12 → n·T·1000 ≤ 10^28 digits-wise,
+      well inside 38) and only the final integral quotient — bounded
+      by 1000·T ≤ 10^15 — returns to BIGINT. Same plan shape; only
+      the expression type widens.
+
+    The quotient is floor division on positive integers in both
+    widths, so results are bit-identical wherever the narrow width is
+    defined at all (pinned by test_term_lift_wide_*)."""
+    if wide:
+        return F.expr(
+            "(CAST(n AS DECIMAL(18,0)) * CAST(t_tot AS DECIMAL(18,0)) * 1000)"
+            " div (CAST(g_tot AS DECIMAL(18,0)) * CAST(s_tot AS DECIMAL(18,0)))"
+        ).cast("long")
+    return F.expr("(n * t_tot * 1000) div (g_tot * s_tot)").cast("long")
+
+
+@q("term_lift", _TERM_LIFT_SQL)
 def term_lift(spark, sf_dir):
     """Distinctive-term mining per source (PMI-style lift, corpus
     analytics for curation dashboards): lift(token, source) =
     P(token|source) / P(token), computed as the exact integer
     milli-ratio n·T·1000 div (g·s) over token-occurrence counts (all
-    positive longs — engine-identical floor division; at 10^12-token
-    scale the products need DECIMAL(38) — same plan, wider type).
+    positive longs — engine-identical floor division; term_lift_wide
+    is the DECIMAL(38) twin for 10^12-token corpora).
     Top-5 per source by (lift desc, token), min support n >= 5.
 
     Physical form: ONE tokenize+explode pass. The (source, token) pair
@@ -4172,6 +4195,22 @@ def term_lift(spark, sf_dir):
     marginal-via-window trick as bigram_model_counts; re-exploding
     every document 4x is the exact shape paragraph_dedup's plan test
     exists to forbid)."""
+    return _term_lift(spark, sf_dir, wide=False)
+
+
+@q("term_lift_wide", _TERM_LIFT_SQL)
+def term_lift_wide(spark, sf_dir):
+    """term_lift's overflow-proof production width: identical plan and
+    semantics, but the n·t_tot·1000 and g_tot·s_tot products are
+    computed in DECIMAL(38,0) (see lift_milli_expr) — BIGINT overflows
+    at ~10^9.6 for the product of two counts, which a 10^12-token
+    corpus exceeds; the oracle pair is term_lift's verbatim (DuckDB's
+    BIGINT suffices at fixture scale, where both widths agree
+    bit-for-bit)."""
+    return _term_lift(spark, sf_dir, wide=True)
+
+
+def _term_lift(spark, sf_dir, wide: bool):
     d = T(spark, sf_dir, "documents")
     tok = d.filter(F.col("text").isNotNull()).select(
         "source", F.explode(_tokens(F.col("text"))).alias("token")
@@ -4192,13 +4231,7 @@ def term_lift(spark, sf_dir):
     # rows — the corpus-side plan is identical either way: ONE scan,
     # pinned in tests/test_plans.test_term_lift_single_scan_no_cache).
     a = a.withColumn("t_tot", F.sum("n").over(Window.partitionBy()))
-    lift = (
-        a.filter(F.col("n") >= 5)
-        .withColumn(
-            "lift_milli",
-            F.expr("(n * t_tot * 1000) div (g_tot * s_tot)").cast("long"),
-        )
-    )
+    lift = a.filter(F.col("n") >= 5).withColumn("lift_milli", lift_milli_expr(wide))
     w = Window.partitionBy("source").orderBy(F.desc("lift_milli"), "token")
     return (
         lift.withColumn("rn", F.row_number().over(w))

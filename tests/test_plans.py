@@ -535,3 +535,38 @@ def test_curate_para_dedup_hash_keyed_exchange(spark):
         if "para#" in m.group(0):
             assert m.group(0).startswith("hashpartitioning(domain#"), m.group(0)
     assert not re.search(r"hashpartitioning\(para#", plan), plan
+
+
+def test_term_lift_wide_matches_narrow_at_fixture_scale(spark):
+    """The DECIMAL(38) width (term_lift_wide) must be bit-identical to
+    the BIGINT width wherever the latter is defined — same rows, same
+    lift_milli, same top-5 selection."""
+    cols = ["source", "token", "n", "lift_milli"]
+    narrow = sorted(
+        tuple(r[c] for c in cols)
+        for r in Q.REGISTRY["term_lift"](spark, SF).collect()
+    )
+    wide = sorted(
+        tuple(r[c] for c in cols)
+        for r in Q.REGISTRY["term_lift_wide"](spark, SF).collect()
+    )
+    assert narrow == wide and len(narrow) > 0
+
+
+def test_term_lift_wide_survives_bigint_overflow(spark):
+    """The overflow the docstring warns about, triggered: at counts a
+    10^12-token corpus actually produces, n*t_tot alone exceeds
+    BIGINT — the narrow width must fail loudly (ANSI) or wrap, never
+    silently agree; the wide width must return the exact quotient."""
+    row = spark.createDataFrame(
+        [(10**10, 10**9, 10**6, 10**6)],
+        "n long, t_tot long, g_tot long, s_tot long",
+    )
+    wide = row.select(Q.lift_milli_expr(True).alias("v")).collect()[0]["v"]
+    # exact: (1e10 * 1e9 * 1000) div (1e6 * 1e6) = 1e10
+    assert wide == 10**10
+    try:
+        narrow = row.select(Q.lift_milli_expr(False).alias("v")).collect()[0]["v"]
+    except Exception:
+        narrow = None  # ANSI mode: long multiply overflow raises
+    assert narrow != 10**10
