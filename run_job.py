@@ -139,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="state dir for cross-batch boilerplate evidence")
     st.add_argument("--compact-every", type=int, default=16,
                     help="fold boiler state into a snapshot every K batches")
+    st.add_argument("--para-dedup", action="store_true",
+                    help="corpus paragraph-dedup stage per micro-batch")
+    st.add_argument("--span-state", default=None,
+                    help="state dir for cross-batch paragraph-dedup span "
+                         "hashes (implies --para-dedup semantics across "
+                         "the whole crawl history; requires --para-dedup)")
+    st.add_argument("--span-compact-every", type=int, default=16,
+                    help="fold span state into a snapshot every K batches")
     st.add_argument("--max-files-per-trigger", type=int, default=None)
 
     a = p.parse_args(argv)
@@ -160,13 +168,16 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "stream-curate":
         from scripts_spark.streaming.jobs import stream_curate
 
-        cfg = CurateConfig(num_buckets=a.buckets, input_snapshot=a.snapshot)
+        cfg = CurateConfig(num_buckets=a.buckets, input_snapshot=a.snapshot,
+                           para_dedup=a.para_dedup)
         q = stream_curate(
             spark, a.input, a.output, a.checkpoint, cfg,
             max_files_per_trigger=a.max_files_per_trigger,
             dedup_urls_across_batches=a.dedup_urls,
             boiler_state_dir=a.boiler_state,
             boiler_compact_every=a.compact_every,
+            span_state_dir=a.span_state,
+            span_compact_every=a.span_compact_every,
         )
         q.awaitTermination()
         # a valid run over an empty input commits zero batches and never

@@ -276,7 +276,16 @@ def boiler_line_evidence(docs: DataFrame, cfg: CurateConfig) -> tuple[DataFrame,
     return line_docs, dom_docs
 
 
-def _corpus_para_dedup(d: DataFrame, cfg: CurateConfig) -> DataFrame:
+def span_hash_cols(para: Column) -> tuple[Column, Column]:
+    """The 128-bit (xxhash64, confirm-xxhash64) span key — ONE
+    definition shared by the batch dedup stage and the streaming span
+    state, so the two sides can never hash differently."""
+    return F.xxhash64(para), F.xxhash64(F.lit("pd2"), para)
+
+
+def _corpus_para_dedup(
+    d: DataFrame, cfg: CurateConfig, span_history: DataFrame | None = None
+) -> DataFrame:
     """Corpus-wide first-occurrence paragraph dedup over the
     boiler-stripped kept_paras — the PRODUCTION hash-keyed form
     (operators/dedup.paragraph_dedup_hashed, same two-pass): explode
@@ -294,18 +303,33 @@ def _corpus_para_dedup(d: DataFrame, cfg: CurateConfig) -> DataFrame:
     crashed run (pinned in tests/test_resume.py). A false merge needs
     a 2^-128 double-hash collision between distinct paragraphs.
 
+    ``span_history`` (streaming seam): an (h1, h2) frame of span keys
+    seen by EARLIER micro-batches — any current paragraph whose key
+    appears there is dropped too (its first occurrence lives in an
+    already-committed batch). The history join runs on the same
+    16-byte keys, after the within-batch arg-min, so batch and
+    streaming modes share one survivor rule: corpus-wide first
+    occurrence in (batch, url, pidx) order.
+
     Adds ``paras_dup`` (how many of this doc's post-boiler paragraphs
     were dropped as earlier-seen) and rewrites ``kept_paras``."""
     ex = d.select("url", F.posexplode("kept_paras").alias("pidx", "para"))
-    hp = ex.select(
-        "url",
-        "pidx",
-        F.xxhash64("para").alias("_h1"),
-        F.xxhash64(F.lit("pd2"), F.col("para")).alias("_h2"),
-    )
+    h1, h2 = span_hash_cols(F.col("para"))
+    hp = ex.select("url", "pidx", h1.alias("_h1"), h2.alias("_h2"))
     occ = F.struct(F.col("url").alias("u"), F.col("pidx").alias("i"))
     w = Window.partitionBy("_h1", "_h2")
     flags = hp.withColumn("_kept", occ == F.min(occ).over(w))
+    if span_history is not None:
+        hist = (
+            span_history.select(
+                F.col("h1").alias("_h1"), F.col("h2").alias("_h2")
+            )
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+        flags = flags.join(hist, ["_h1", "_h2"], "left").withColumn(
+            "_kept", F.col("_kept") & F.col("_hist").isNull()
+        )
     per_doc = flags.groupBy("url").agg(
         F.array_sort(
             F.collect_list(F.when(F.col("_kept"), F.col("pidx")))
@@ -381,7 +405,8 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
 
 def curate(pages: DataFrame, cfg: CurateConfig | None = None,
            boiler_override: DataFrame | None = None,
-           docs: DataFrame | None = None) -> DataFrame:
+           docs: DataFrame | None = None,
+           span_history: DataFrame | None = None) -> DataFrame:
     """Full pipeline → decision frame (SURVEY.md §7.0 output schema +
     bucket column for manifests/metrics).
 
@@ -390,8 +415,12 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     uses to strip against evidence merged across micro-batches.
     ``docs``: an already-computed (and typically persisted)
     deduped_docs frame for the same pages, so a caller that needed it
-    for evidence extraction doesn't pay the dedup+repair chain twice."""
+    for evidence extraction doesn't pay the dedup+repair chain twice.
+    ``span_history``: earlier-batch span keys for the paragraph-dedup
+    stage (see _corpus_para_dedup) — requires ``cfg.para_dedup``."""
     cfg = cfg or CurateConfig()
+    if span_history is not None and not cfg.para_dedup:
+        raise ValueError("span_history requires CurateConfig.para_dedup=True")
     if docs is None:
         docs = deduped_docs(pages, cfg)
         # three consumers read this frame (boilerplate line counts,
@@ -412,7 +441,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         .drop("boiler_set", "paras")
     )
     if cfg.para_dedup:
-        d = _corpus_para_dedup(d, cfg)
+        d = _corpus_para_dedup(d, cfg, span_history=span_history)
     d = d.withColumn(
         "scrubbed_text", text_kernel.scrub_all(F.array_join("kept_paras", "\n"))
     ).drop("kept_paras")

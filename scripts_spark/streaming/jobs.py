@@ -26,8 +26,10 @@ from scripts_spark.plans.pipeline import (
     CurateConfig,
     boiler_line_evidence,
     boiler_sets_from_counts,
+    boilerplate_sets,
     curate,
     deduped_docs,
+    span_hash_cols,
 )
 from scripts_spark.sources import catalog
 from scripts_spark.sources.pages import PAGES_SCHEMA
@@ -48,7 +50,9 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   dedup_urls_across_batches: bool = False,
                   dedup_watermark: str = "30 days",
                   boiler_state_dir: str | None = None,
-                  boiler_compact_every: int | None = 16):
+                  boiler_compact_every: int | None = 16,
+                  span_state_dir: str | None = None,
+                  span_compact_every: int | None = 16):
     """File-source stream → batch curate per micro-batch → manifest
     commit. Returns the started StreamingQuery.
 
@@ -70,8 +74,19 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     whose evidence is split across micro-batches — each batch alone
     below threshold — is therefore stripped from every batch processed
     after the threshold is crossed (evidence grows monotonically;
-    already-committed earlier batches are not rewritten)."""
+    already-committed earlier batches are not rewritten).
+
+    ``span_state_dir`` (requires ``cfg.para_dedup``) extends the
+    corpus paragraph-dedup stage across micro-batches the same way:
+    each batch appends the distinct 128-bit span keys of its
+    post-boiler paragraphs, and the dedup stage drops any current
+    paragraph whose key a PRIOR batch already recorded — an
+    incremental crawl drop therefore dedups against the whole crawl
+    history, not just its own batch, with state that is 16 bytes/span
+    and compacted/GC'd on the same snapshot+watermark discipline."""
     cfg = cfg or CurateConfig()
+    if span_state_dir is not None and not cfg.para_dedup:
+        raise ValueError("span_state_dir requires CurateConfig.para_dedup=True")
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
     if dedup_urls_across_batches:
         stream = stream.withWatermark("warc_ts", dedup_watermark)
@@ -81,24 +96,43 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
         if batch_df.isEmpty():
             return
         boiler, docs, evidence = None, None, None
-        if boiler_state_dir is not None:
+        if boiler_state_dir is not None or span_state_dir is not None:
             # compute + persist the deduped/repaired docs frame ONCE:
-            # the two evidence writes and the curate pass all read it
+            # the evidence writes and the curate pass all read it
             # (without this the scan + url-dedup + repair chain runs 3x
             # per micro-batch)
             docs = deduped_docs(batch_df, cfg).persist()
+        if boiler_state_dir is not None:
             boiler, evidence = _merged_boiler(
                 spark, docs, batch_id, boiler_state_dir, cfg,
                 compact_every=boiler_compact_every,
             )
+        elif span_state_dir is not None:
+            # span evidence and the strip must agree on the boiler
+            # sets: compute the batch-local sets ONCE here and hand
+            # them to curate as the override
+            boiler = boilerplate_sets(docs, cfg)
+        span_hist = None
+        if span_state_dir is not None:
+            span_hist = _span_state(
+                spark, span_state_dir, batch_id, span_compact_every
+            )
         try:
-            dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs)
+            dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs,
+                         span_history=span_hist)
             # the commit unit is (job_id=batch_id, bucket): a replayed
             # micro-batch resumes its own partial commit, while a NEW
             # batch whose documents hash into buckets an earlier batch
             # already committed is still written in full (no
             # cross-batch skipping)
             catalog.commit_buckets(dec, out_dir, job_id=batch_id)
+            if span_state_dir is not None:
+                # AFTER the commit: a crash in between replays the
+                # batch, which resumes the commit and rewrites its own
+                # evidence partition (idempotent); history for the
+                # replay is still exclusive of this batch (see
+                # _span_state)
+                _write_span_evidence(docs, boiler, batch_id, span_state_dir)
         finally:
             if docs is not None:
                 docs.unpersist()
@@ -227,6 +261,86 @@ def _live_state(spark: SparkSession, state_dir: str, sub: str, through: int,
         f"{state_dir}/{sub}_compacted/through={through}"
     ).select(*cols)
     return tail.unionByName(snap)
+
+
+def _span_state(spark: SparkSession, state_dir: str, batch_id: int,
+                compact_every: int | None) -> DataFrame:
+    """Cross-batch paragraph-dedup history: the distinct (h1, h2) span
+    keys of every post-boiler paragraph processed by micro-batches
+    BEFORE this one, maintained with the boiler state's
+    snapshot/watermark/GC discipline — with one twist: the history is
+    EXCLUSIVE of the current batch. Its own ``batch_id=`` partition
+    may already exist from a crashed attempt, and counting it would
+    drop every paragraph of a replayed batch as "already seen" — so
+    tail reads are bounded above by the current id, the watermark
+    records the last batch FOLDED (b-1 when batch b compacts, never b
+    itself), and a replayed batch sees exactly the history its first
+    attempt saw. Unlike boiler counts (which must include the current
+    batch), first-occurrence dedup wants strictly-prior state, so the
+    exclusive read is the semantics, not just crash hygiene."""
+    through = _compacted_through(state_dir)
+    if batch_id <= through:
+        raise ValueError(
+            f"span state watermark ({through}) is at or ahead of "
+            f"micro-batch id {batch_id}: this state_dir was compacted "
+            "by a different (or further-along) checkpoint. Resume with "
+            "the original checkpoint_dir, or clear the span state_dir."
+        )
+    if _has_batch_partitions(state_dir, "spans"):
+        tail = (
+            spark.read.parquet(f"{state_dir}/spans")
+            .filter(
+                (F.col("batch_id") > through) & (F.col("batch_id") < batch_id)
+            )
+            .select("h1", "h2")
+        )
+    else:
+        tail = spark.createDataFrame([], "h1 long, h2 long")
+    hist = tail
+    if through >= 0:
+        hist = tail.unionByName(
+            spark.read.parquet(
+                f"{state_dir}/spans_compacted/through={through}"
+            ).select("h1", "h2")
+        )
+    if compact_every and (batch_id - 1) - through >= compact_every:
+        hist.distinct().hint("rebalance").write.mode("overwrite").parquet(
+            f"{state_dir}/spans_compacted/through={batch_id - 1}"
+        )
+        _advance_watermark(state_dir, batch_id - 1)
+        _gc_folded(state_dir, "spans", batch_id - 1)
+        hist = spark.read.parquet(
+            f"{state_dir}/spans_compacted/through={batch_id - 1}"
+        ).select("h1", "h2")
+    return hist
+
+
+def _write_span_evidence(docs: DataFrame, boiler: DataFrame, batch_id: int,
+                         state_dir: str) -> None:
+    """Append this batch's post-boiler span keys (distinct 128-bit
+    hashes, ~16 bytes/span — never the paragraph strings) as its own
+    ``batch_id=`` partition; per-write dynamic overwrite keeps
+    crash-replay idempotent, mirroring the boiler evidence writes.
+    Evidence is the PRE-dedup kept paragraphs: spans this batch
+    dropped as duplicates are already in history, so the union of
+    histories is unchanged and the write needs no dependency on the
+    strip itself (it can run after the bucket commit)."""
+    bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))
+    kept = F.filter(F.col("paras"), lambda p: ~F.array_contains(bset, p))
+    para = docs.join(F.broadcast(boiler), "domain", "left").select(
+        F.explode(kept).alias("para")
+    )
+    h1, h2 = span_hash_cols(F.col("para"))
+    (
+        para.select(h1.alias("h1"), h2.alias("h2"))
+        .distinct()
+        .withColumn("batch_id", F.lit(batch_id))
+        .hint("rebalance")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{state_dir}/spans")
+    )
 
 
 def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,

@@ -528,3 +528,125 @@ def test_running_domain_stats_stateful(spark, tmpdirs):
     final = upd.orderBy(F.desc("docs_seen")).first()
     assert final["sv_docs"] == 2          # one sv doc per batch
     assert final["text_bytes"] > 0
+
+
+def test_stream_curate_cross_batch_paragraph_dedup(spark, tmpdirs):
+    """Three crawl drops with a paragraph repeated across drops: with
+    span_state_dir set, the corpus paragraph-dedup stage drops a
+    drop-2 (and drop-3) paragraph already recorded by drop 1 — the
+    survivor is the corpus-wide first occurrence even across
+    micro-batch commits — while unique content is untouched. With
+    span_compact_every=1 every batch also exercises the snapshot /
+    watermark / GC path, so the history drop 3 dedups against lives
+    in a compacted snapshot, not raw batch partitions."""
+    import datetime
+    import os
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, para_dedup=True)
+    span_dir = state + "/spanstate"
+    P = "detta stycke upprepas i varje veckas leverans av samma nyhetsbrev"
+
+    def drop(i):
+        rows = [
+            (
+                f"https://d{i}.example.com/doc",
+                datetime.datetime(2020, 2, 1 + i),
+                None,
+                P + "\n" + f"helt eget innehåll nummer {i} om utskottets betänkande",
+                "sv",
+            ),
+            (
+                f"https://d{i}.example.com/other",
+                datetime.datetime(2020, 2, 1 + i),
+                None,
+                f"orelaterad sida nummer {i} utan upprepningar alls",
+                "sv",
+            ),
+        ]
+        return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    for i in range(3):
+        drop(i).coalesce(1).write.mode("append").parquet(in_dir)
+        q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                             span_state_dir=span_dir, span_compact_every=1)
+        q.awaitTermination(120)
+
+    out = {r["url"]: r["scrubbed_text"]
+           for r in catalog.read_output(spark, out_dir).collect()}
+    assert len(out) == 6
+    assert P in out["https://d0.example.com/doc"]  # first occurrence survives
+    for i in (1, 2):
+        t = out[f"https://d{i}.example.com/doc"]
+        assert P not in t, t  # historic duplicate stripped
+        assert f"innehåll nummer {i}" in t  # unique tail untouched
+    # unrelated docs never lose anything
+    for i in range(3):
+        assert f"sida nummer {i}" in out[f"https://d{i}.example.com/other"]
+    # compaction actually ran each trigger: watermark at batch 1 (the
+    # last FOLDED batch), folded partitions and superseded snapshots
+    # GC'd — drop 3's history came from the snapshot
+    with open(span_dir + "/COMPACTED_THROUGH") as f:
+        assert f.read().strip() == "1"
+    assert sorted(
+        d for d in os.listdir(span_dir + "/spans") if d.startswith("batch_id=")
+    ) == ["batch_id=2"]
+    assert os.listdir(span_dir + "/spans_compacted") == ["through=1"]
+
+
+def test_stream_curate_span_state_requires_para_dedup(spark, tmpdirs):
+    in_dir, out_dir, ckpt, state = tmpdirs
+    with pytest.raises(ValueError, match="para_dedup"):
+        SJ.stream_curate(spark, in_dir, out_dir, ckpt, CurateConfig(),
+                         span_state_dir=state + "/s")
+
+
+def test_span_state_replay_sees_history_exclusive_of_itself(spark, tmpdirs):
+    """The span-dedup replay invariant: a crash-replayed micro-batch
+    whose own spans partition ALREADY EXISTS (written before the
+    crash) must get the same history its first attempt saw — if its
+    own partition leaked into history, every paragraph of the replayed
+    batch would be dropped as 'already seen' and the batch would
+    commit empty text. Also pins: no paragraph strings on disk, and
+    the foreign-checkpoint fail-fast."""
+    import datetime
+
+    import pytest as _pt
+
+    _, _, _, state = tmpdirs
+    span_dir = state + "/respan"
+    cfg = CurateConfig(num_buckets=2, para_dedup=True)
+    from scripts_spark.plans.pipeline import boilerplate_sets, deduped_docs
+    from scripts_spark.streaming.jobs import _span_state, _write_span_evidence
+
+    def batch(i, text):
+        rows = [(f"https://rs{i}.example.com/p", datetime.datetime(2020, 3, 1),
+                 None, text, "sv")]
+        return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    def process(bid, text):
+        docs = deduped_docs(batch(bid, text), cfg)
+        boiler = boilerplate_sets(docs, cfg)
+        hist = {(r["h1"], r["h2"])
+                for r in _span_state(spark, span_dir, bid, None).collect()}
+        _write_span_evidence(docs, boiler, bid, span_dir)
+        return hist
+
+    h0 = process(0, "första raden\nandra raden")
+    assert h0 == set()
+    h1_first = process(1, "första raden\ntredje raden")
+    assert len(h1_first) == 2  # sees batch 0's two spans
+    # crash-replay of batch 1: its own partition exists on disk now,
+    # but history must be identical to the first attempt
+    h1_replay = process(1, "första raden\ntredje raden")
+    assert h1_replay == h1_first
+    # no strings on disk — only the 16-byte keys + partition column
+    st = spark.read.parquet(f"{span_dir}/spans")
+    assert set(st.columns) == {"h1", "h2", "batch_id"}
+    # double write stayed idempotent: batch 1's partition holds its
+    # own distinct spans once
+    assert st.filter(F.col("batch_id") == 1).count() == 2
+    # a batch id at/below the compaction watermark = foreign checkpoint
+    _span_state(spark, span_dir, 5, compact_every=1)  # folds through=4
+    with _pt.raises(ValueError, match="watermark"):
+        _span_state(spark, span_dir, 4, None)
