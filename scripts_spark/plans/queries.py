@@ -4320,4 +4320,157 @@ def dataset_split(spark, sf_dir):
     )
 
 
+# Per-source token budget for token_budget_sample: at fixture scale
+# each source holds ~1,300 tokens, so 800 selects ~60% of every
+# source and exercises the cut boundary in ALL of them. One shared
+# constant so the Spark plan, the oracle SQL, and the scalable twin
+# cannot drift.
+TOKEN_BUDGET = 800
+
+
+def _budget_base(spark, sf_dir):
+    """Shared first stage of both token_budget_sample forms: per doc,
+    its whitespace token count and its sampling priority — the
+    md5-prefix uniform over a salted doc_id ('tb' salt decorrelates it
+    from dataset_split's unsalted hash, so budget membership and split
+    assignment are independent draws)."""
+    d = T(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    return d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(t).cast("long").alias("n_tokens"),
+        _md5_hash32(F.concat(F.lit("tb"), F.col("doc_id").cast("string"))).alias(
+            "_pri"
+        ),
+    )
+
+
+_BUDGET_SQL = f"""
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5('tb' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) AS pri
+        FROM documents WHERE text IS NOT NULL))
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    """
+
+
+@q("token_budget_sample", _BUDGET_SQL)
+def token_budget_sample(spark, sf_dir):
+    """Training-mix curation: select documents per source up to a
+    fixed TOKEN budget (not a document count — sources with long
+    documents contribute fewer of them), the standard way a pretraining
+    mix allocates "N billion tokens of source X". Selection order is a
+    deterministic uniform hash of the doc_id, so the sample is
+    reproducible, append-stable (a new crawl drop only ever ADDS docs
+    whose priority falls before the cut if budget remains — it never
+    reshuffles previous picks' order), and independent of the
+    train/val/test split hash. A document is kept iff the running
+    token total up to and including it stays within the budget.
+
+    This exact form computes the running total with a per-source
+    window cumsum — one shuffle on source, then a per-source ordered
+    scan. At 100 TB with a handful of mega-sources that ordered scan
+    serializes per source; token_budget_sample_scalable is the
+    equivalence-tested production twin that resolves the same cut with
+    bucketed prefix sums instead of a full per-source sort."""
+    b = _budget_base(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_sample_scalable(spark, sf_dir, n_buckets: int = 256):
+    """Production twin of token_budget_sample — SAME selection, no
+    per-source global sort. The priority hash is uniform, so the
+    selected set is a prefix of the priority order; the cut priority
+    can be found from aggregated prefix sums instead of ordering every
+    row:
+
+      1. bucket each doc by the top bits of its priority
+         (pri * n_buckets / 2^32) and aggregate per (source, bucket)
+         token sums — a map-side-combined groupBy over at most
+         |sources| * n_buckets rows;
+      2. cumsum those bucket totals per source (window over the TINY
+         aggregate, thousands of rows, not the corpus) to find each
+         source's boundary bucket — the first whose running total
+         crosses the budget; whole buckets before it are accepted
+         outright;
+      3. per-doc cumsum ONLY inside each source's boundary bucket
+         (expected corpus_rows / n_buckets rows per source) to resolve
+         the exact cut, seeded with the accepted-bucket running total.
+
+    Every doc the exact form keeps is kept here (same (pri, doc_id)
+    order, same <= budget rule — equivalence-tested bit-identical in
+    tests/test_queries.py); the full-corpus work is one groupBy plus
+    one narrow join, and the only per-doc ordered scan runs over a
+    1/n_buckets sliver plus the budget-bounded selected set. Scale
+    n_buckets with corpus rows to hold the sliver small (expected
+    boundary-bucket rows = rows_per_source / n_buckets)."""
+    b = _budget_base(spark, sf_dir)
+    bucket = (F.col("_pri") * n_buckets / F.lit(1 << 32)).cast("int")
+    b = b.withColumn("_bkt", bucket)
+    per_bucket = b.groupBy("source", "_bkt").agg(
+        F.sum("n_tokens").alias("_btoks")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        per_bucket.withColumn("_bcum", F.sum("_btoks").over(wb))
+        # running total BEFORE this bucket; a bucket is in play at all
+        # only while that is still within budget, and it is the
+        # boundary when its own tokens cross the remainder
+        .withColumn("_before", F.col("_bcum") - F.col("_btoks"))
+        .filter(F.col("_before") <= TOKEN_BUDGET)
+        .withColumn("_is_boundary", F.col("_bcum") > TOKEN_BUDGET)
+        # only the FIRST boundary bucket stays (later buckets with
+        # _before <= budget cannot exist after it, but guard anyway)
+        .withColumn(
+            "_n_bound", F.sum(F.col("_is_boundary").cast("int")).over(wb)
+        )
+        .filter((~F.col("_is_boundary")) | (F.col("_n_bound") == 1))
+        .select("source", "_bkt", "_before", "_is_boundary")
+    )
+    j = b.join(cuts, ["source", "_bkt"], "inner")
+    wd = (
+        Window.partitionBy("source")
+        .orderBy("_pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        j.filter(F.col("_is_boundary"))
+        .withColumn("_cum", F.col("_before") + F.sum("n_tokens").over(wd))
+        .filter(F.col("_cum") <= TOKEN_BUDGET)
+        .drop("_cum")
+    )
+    picked = j.filter(~F.col("_is_boundary")).unionByName(edge).select(
+        "doc_id", "source", "n_tokens", "_pri"
+    )
+    # re-derive cum_tokens for output parity with the exact form: the
+    # selected set is budget-bounded per source, so this window runs
+    # over at most budget/avg_tokens rows per source, not the corpus
+    return picked.withColumn("cum_tokens", F.sum("n_tokens").over(wd)).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
 _curate_order()

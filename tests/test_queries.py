@@ -17,6 +17,7 @@ import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -133,3 +134,24 @@ def test_driver_window_covers_critical_operators():
     assert critical <= set(first50)
     # every window slot must be value-checkable (has an oracle)
     assert all(n in Q.ORACLES for n in first50)
+
+
+@pytest.mark.parametrize("n_buckets", [4, 512])
+def test_token_budget_sample_scalable_equivalence(spark, n_buckets):
+    """The bucketed-prefix-sum production twin selects the EXACT same
+    rows (values included) as the window-cumsum oracle anchor, at a
+    bucket count small enough that every source's cut lands mid-bucket
+    (4) and large enough that most buckets hold 0-1 docs (512)."""
+    exact = (
+        Q.REGISTRY["token_budget_sample"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    fast = (
+        Q.token_budget_sample_scalable(spark, SF_DIR, n_buckets=n_buckets)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, fast)
