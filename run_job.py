@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -67,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--para-dedup", action="store_true",
                    help="corpus-wide paragraph dedup stage (post-boiler, "
                         "pre-rules; adds the para_dup_frac reason)")
+    c.add_argument("--near-dedup", action="store_true",
+                   help="corpus-wide MinHash near-dedup stage (post-boiler; "
+                        "adds the near_dup reason to cluster losers)")
+    c.add_argument("--near-dedup-mode", choices=["component", "neighbor"],
+                   default="component",
+                   help="survivor rule: one per connected component "
+                        "(published pattern, iterative) or drop-if-any-"
+                        "smaller-neighbor (single-pass, lazy)")
 
     k = sub.add_parser("check")
     k.add_argument("--decisions", required=True)
@@ -150,7 +159,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--max-files-per-trigger", type=int, default=None)
 
     a = p.parse_args(argv)
-    spark = get_spark(app_name=f"scripts-spark-{a.cmd}")
+    # local mode hosts every task thread inside the driver JVM: the
+    # 1g JVM default OOMs multi-stage jobs (near-dedup at local[32]
+    # died in an executor thread at 1g). On a real cluster this knob
+    # is spark-submit's --driver-memory / --executor-memory instead.
+    spark = get_spark(
+        app_name=f"scripts-spark-{a.cmd}",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        },
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if a.cmd == "gen-pages":
@@ -161,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = CurateConfig(
             num_buckets=a.buckets, salt=a.salt, input_snapshot=a.snapshot,
             scorer=a.scorer, para_dedup=a.para_dedup,
+            near_dedup=a.near_dedup, near_dedup_mode=a.near_dedup_mode,
         )
         dec = curate(df, cfg)
         stats = catalog.commit_buckets(dec, a.output)

@@ -45,6 +45,15 @@ class OracleConfig:
     para_dedup: bool = False
     para_dup_num: int = 3
     para_dup_den: int = 10
+    # near-dedup twin: EXACT all-pairs shingle Jaccard (no LSH — at
+    # oracle scale O(n²) is fine and it upper-bounds the pipeline's
+    # candidate recall, so parity asserts LSH missed nothing on the
+    # fixture), same integer threshold + survivor rules as the plan
+    near_dedup: bool = False
+    near_dup_num: int = 4
+    near_dup_den: int = 5
+    near_dedup_shingle_k: int = 3
+    near_dedup_mode: str = "component"
 
 
 def domain_of(url: str) -> str:
@@ -111,6 +120,52 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
                     survivors.append(p)
             kept_by_url[url] = survivors
 
+    # corpus-wide near-dedup (opt-in): exact pairwise Jaccard over the
+    # k-word shingle SETS of the post-boiler (and post-para-dedup)
+    # kept text, integer cross-multiplied threshold, then either
+    # connected-component survival (min url per component) or
+    # smaller-neighbor survival — the pure-Python twin of
+    # pipeline._near_dup_losers
+    nd_losers: dict[str, str] = {}
+    if cfg.near_dedup:
+        k = cfg.near_dedup_shingle_k
+        sh: dict[str, set[str]] = {}
+        for url in by_url:
+            toks = textoracle.tokens("\n".join(kept_by_url[url]))
+            sh[url] = {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+        urls = sorted(u for u in by_url if "\n".join(kept_by_url[u]) != "")
+        pairs: list[tuple[str, str]] = []
+        for i, a in enumerate(urls):
+            for b in urls[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                if inter > 0 and inter * cfg.near_dup_den >= union * cfg.near_dup_num:
+                    pairs.append((a, b))
+        if cfg.near_dedup_mode == "component":
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            for a, b in pairs:
+                for u in (a, b):
+                    root = find(u)
+                    if root != u:
+                        nd_losers[u] = root
+        else:
+            for a, b in pairs:
+                nd_losers[b] = min(nd_losers.get(b, a), a)
+
     out: dict[str, dict] = {}
     for url, r in by_url.items():
         dom = domain_of(url)
@@ -158,6 +213,8 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
             and paras_dup * cfg.para_dup_den > n_kept_pre_dedup * cfg.para_dup_num
         ):
             reasons.append("para_dup_frac")
+        if url in nd_losers:
+            reasons.append("near_dup")
         if lang_pred != "sv":
             reasons.append("lang")
         if n_bigrams > 0 and ppx_sum > langmodel.PPX_THRESHOLD_MILLI * n_bigrams:

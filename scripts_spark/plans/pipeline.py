@@ -46,10 +46,11 @@ from scripts_spark.functions import ids, langid, langmodel, perplexity, scoring_
 from scripts_spark.sources.pages import domain_of
 
 PIPELINE_VERSION = "1.2"  # 1.2: toxicity lexicon scrub after PII
-# The opt-in paragraph-dedup stage does NOT bump this: with it off,
-# row semantics (and the physical plan, byte-for-byte) are exactly
-# 1.2 — bench plan-identity digests depend on that — and with it on,
-# the lineage already carries its own "para_dedup" rule-version key.
+# The opt-in paragraph-dedup and near-dedup stages do NOT bump this:
+# with them off, row semantics (and the physical plan, byte-for-byte)
+# are exactly 1.2 — bench plan-identity digests depend on that — and
+# with a stage on, the lineage carries its own "para_dedup" /
+# "near_dedup" rule-version key.
 
 
 @dataclass(frozen=True)
@@ -97,6 +98,30 @@ class CurateConfig:
     para_dedup: bool = False
     para_dup_num: int = 3
     para_dup_den: int = 10
+    # opt-in corpus-wide NEAR-dedup (the FineWeb/Lee-et-al fuzzy-dedup
+    # pattern) over the post-boiler (and post-paragraph-dedup, if on)
+    # kept text: MinHash signatures → banded-LSH candidates → exact
+    # shingle-Jaccard verify at threshold near_dup_num/near_dup_den
+    # (integer cross-multiplication on the verify counts — no float
+    # compare), then one survivor per duplicate cluster. The loser
+    # docs gain the "near_dup" filter reason. Two survivor rules:
+    # - "component" (default, the published pattern): connected
+    #   components over the verified pair graph, survivor = min url
+    #   per component. Label propagation is iterative, so with this
+    #   mode ON curate() runs Spark jobs at plan-build time (CC
+    #   rounds) instead of staying a pure lazy plan builder;
+    # - "neighbor": drop a doc iff a verified pair links it to a
+    #   strictly-smaller url. Single aggregation, fully lazy, no
+    #   transitive chaining (a long a~b~c chain keeps every local
+    #   minimum instead of collapsing to one doc) — over-retains
+    #   relative to components but never merges unrelated docs.
+    near_dedup: bool = False
+    near_dup_num: int = 4  # Jaccard >= 4/5
+    near_dup_den: int = 5
+    near_dedup_hashes: int = 16
+    near_dedup_bands: int = 8
+    near_dedup_shingle_k: int = 3
+    near_dedup_mode: str = "component"  # "component" | "neighbor"
 
     def rule_versions(self) -> dict[str, str]:
         rv = dict(text_kernel.KERNEL_VERSIONS)
@@ -111,6 +136,12 @@ class CurateConfig:
         # previous-round control clone read true
         if self.para_dedup:
             rv["para_dedup"] = f"on-{self.para_dup_num}/{self.para_dup_den}"
+        if self.near_dedup:
+            rv["near_dedup"] = (
+                f"on-{self.near_dedup_mode}-j{self.near_dup_num}/"
+                f"{self.near_dup_den}-mh{self.near_dedup_hashes}"
+                f"b{self.near_dedup_bands}k{self.near_dedup_shingle_k}"
+            )
         return rv
 
 
@@ -349,6 +380,61 @@ def _corpus_para_dedup(
     )
 
 
+def _near_dup_losers(d: DataFrame, cfg: CurateConfig) -> DataFrame:
+    """(url, near_dup_of) for every document that LOSES near-dedup —
+    i.e. is a verified near-duplicate whose cluster survivor is some
+    other (smaller-url) document. Input is the post-boiler frame with
+    ``kept_paras``; detection text is the joined kept paragraphs, so
+    boilerplate (and, if on, corpus-duplicated paragraphs) never vote
+    on similarity.
+
+    Scale shape: signatures are one explode + partial-agg'd groupBy
+    (16 longs/doc through the exchange), candidates an equi self-join
+    on (band, band_key), verify left-semi-pruned to candidate docs,
+    and the threshold an integer cross-multiplication on the verify's
+    exact shingle counts (n_common·den >= union·num — never a float
+    compare). "component" survival adds O(cluster diameter) label-
+    propagation rounds over the verified PAIRS only (near-dup graphs
+    are shallow stars); "neighbor" survival is a single groupBy-min
+    over the pair list."""
+    from scripts_spark.operators import dedup as D
+
+    txt = d.select(
+        "url", F.array_join("kept_paras", "\n").alias("_nd_text")
+    ).filter(F.length("_nd_text") > 0)
+    sig = D.minhash_signatures(
+        txt, "url", "_nd_text", cfg.near_dedup_hashes, cfg.near_dedup_shingle_k
+    )
+    cand = D.lsh_candidate_pairs(
+        sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
+    )
+    ver = D.jaccard_verify(
+        txt, cand, "url", "_nd_text", cfg.near_dedup_shingle_k, threshold=0.0
+    )
+    pairs = ver.filter(
+        F.col("n_common") * cfg.near_dup_den
+        >= (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        * cfg.near_dup_num
+    ).select("key_a", "key_b")
+    if cfg.near_dedup_mode == "component":
+        comp = D.connected_components(pairs)
+        return comp.filter(F.col("node") != F.col("group")).select(
+            F.col("node").alias("url"), F.col("group").alias("near_dup_of")
+        )
+    if cfg.near_dedup_mode != "neighbor":
+        raise ValueError(
+            f"near_dedup_mode must be 'component' or 'neighbor', "
+            f"got {cfg.near_dedup_mode!r}"
+        )
+    # pairs always carry key_a < key_b, so "has any strictly-smaller
+    # verified neighbor" == "appears on the b side of some pair"
+    return (
+        pairs.groupBy("key_b")
+        .agg(F.min("key_a").alias("near_dup_of"))
+        .withColumnRenamed("key_b", "url")
+    )
+
+
 def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
     """Ordered reason array; every test is integer-exact."""
     tests = [
@@ -399,6 +485,11 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
                 ),
             )
         )
+    if cfg.near_dedup:
+        # fires for cluster losers only; like para_dup_frac, omitted
+        # (not a vacuous predicate) when the stage is off so the
+        # off-plan stays byte-identical to pipeline 1.2
+        tests.append(("near_dup", c["nd_loser"]))
     arr = F.array(*[F.when(cond, F.lit(name)) for name, cond in tests])
     return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
 
@@ -442,6 +533,18 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     )
     if cfg.para_dedup:
         d = _corpus_para_dedup(d, cfg, span_history=span_history)
+    if cfg.near_dedup:
+        # the losers frame re-reads d (self-similarity is cross-doc by
+        # nature); persist the post-boiler frame so the repair + strip
+        # chain isn't recomputed for the signature/verify branches
+        if cfg.persist_intermediate:
+            d = d.persist()
+        losers = _near_dup_losers(d, cfg)
+        d = d.join(
+            losers.select("url").withColumn("_nd_loser", F.lit(True)),
+            "url",
+            "left",
+        ).withColumn("_nd_loser", F.coalesce(F.col("_nd_loser"), F.lit(False)))
     d = d.withColumn(
         "scrubbed_text", text_kernel.scrub_all(F.array_join("kept_paras", "\n"))
     ).drop("kept_paras")
@@ -523,6 +626,8 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
             "ppx_flag",
         ]
     }
+    if cfg.near_dedup:
+        cols["nd_loser"] = F.col("_nd_loser")
     rv = cfg.rule_versions()
     lineage = F.struct(
         F.col("bucket").cast("string").alias("source_partition"),

@@ -136,6 +136,12 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
         finally:
             if docs is not None:
                 docs.unpersist()
+            if cfg.near_dedup:
+                # curate's near-dedup stage persists its post-boiler
+                # frame internally (no handle reaches us) — sweep it so
+                # a long-running stream doesn't accumulate one cached
+                # RDD per micro-batch
+                spark.catalog.clearCache()
             if evidence is not None:
                 evidence.unpersist()
 

@@ -177,3 +177,134 @@ def test_para_dedup_stage_parity_and_reasons(spark):
     off = pipeline_oracle.curate_rows(rows)
     assert any(off[u]["scrubbed_text"] != ora[u]["scrubbed_text"] for u in ora)
     assert all("para_dup_frac" not in off[u]["filter_reasons"] for u in off)
+
+
+def _near_dup_fixture():
+    """150 generated pages + planted near-duplicates:
+    - six long docs copied onto fresh single-doc domains with one
+      token swapped (pairwise Jaccard >= 0.8 vs the original);
+    - a D < E < F triangle where F is near both D and E but D and E
+      are NOT near each other — the case where component survival
+      (keep D only) and neighbor survival (keep D and E) differ."""
+    from scripts_spark.sources import pages as P
+
+    base = P.gen_rows(range(150))
+    long_idx = [i for i, r in enumerate(base)
+                if len((r["text"] or "").split()) >= 120][:7]
+    assert len(long_idx) == 7
+    planted = []
+    copy_pairs = []
+    for j, i in enumerate(long_idx[:6]):
+        toks = base[i]["text"].split(" ")
+        toks[7] = f"ersattord{chr(97 + j)}"
+        copy_url = f"https://ndcopy{chr(97 + j)}.example.com/sida"
+        copy_pairs.append((base[i]["url"], copy_url))
+        planted.append(dict(base[i], url=copy_url, text=" ".join(toks)))
+    # the triangle uses the SEVENTH long doc — not one of the six copy
+    # bases — and drops the original row entirely, so the D/E/F
+    # cluster shares no text with any other fixture doc
+    tri_base = base.pop(long_idx[6])
+    f_toks = tri_base["text"].split(" ")
+    # the generated text is REPETITIVE (repeated sentences), so a
+    # replaced token's old shingles usually survive via other copies
+    # and each change only ADDS ~3 new distinct shingles. Size the
+    # change count c from the distinct-shingle count S so that
+    # j(D,F) = j(E,F) ≈ S/(S+3c) lands ≈ 0.86 (over threshold) while
+    # j(D,E) ≈ S/(S+6c) ≈ 0.75 (under it); spacing changes 4 apart
+    # keeps their new shingles disjoint
+    def _shset(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    def _jac(a, b):
+        sa, sb = _shset(a), _shset(b)
+        return len(sa & sb) / len(sa | sb)
+
+    def _variants(c):
+        slots = [p for p in range(5, len(f_toks) - 3) if "\n" not in f_toks[p]]
+        d_pos, e_pos = slots[0:4 * c:4], slots[4 * c + 4:8 * c + 4:4]
+        assert len(d_pos) == c and len(e_pos) == c, (c, len(slots))
+        d, e = list(f_toks), list(f_toks)
+        for n, p in enumerate(d_pos):
+            d[p] = f"bytesord{chr(97 + n % 26)}{chr(97 + n // 26)}"
+        for n, p in enumerate(e_pos):
+            e[p] = f"annatord{chr(97 + n % 26)}{chr(97 + n // 26)}"
+        return d, e
+
+    # deterministic calibration: shrink the change count until both
+    # D-F and E-F sit comfortably OVER the 0.8 threshold while D-E
+    # (disjoint change positions, roughly double the distance) stays
+    # comfortably under — margins absorb the repair kernels' drift
+    S = len(_shset(f_toks))
+    c = max(3, S // 18)
+    d_toks, e_toks = _variants(c)
+    while c > 2 and _jac(d_toks, f_toks) < 0.83:
+        c = max(2, int(c * 0.7))
+        d_toks, e_toks = _variants(c)
+    assert _jac(d_toks, f_toks) >= 0.83, (c, _jac(d_toks, f_toks))
+    assert _jac(e_toks, f_toks) >= 0.83, (c, _jac(e_toks, f_toks))
+    assert _jac(d_toks, e_toks) <= 0.78, (c, _jac(d_toks, e_toks))
+    planted += [
+        dict(tri_base, url="https://tri-a.example.com/x",
+             text=" ".join(d_toks)),
+        dict(tri_base, url="https://tri-b.example.com/x",
+             text=" ".join(e_toks)),
+        dict(tri_base, url="https://tri-c.example.com/x",
+             text=" ".join(f_toks)),
+    ]
+    return base + planted, copy_pairs
+
+
+@pytest.mark.parametrize("mode", ["component", "neighbor"])
+def test_near_dedup_stage_parity_and_reasons(spark, mode):
+    """Opt-in MinHash near-dedup (CurateConfig.near_dedup): the
+    LSH-candidate + exact-Jaccard-verify + survival pipeline must
+    match the oracle's exact all-pairs recomputation EXACTLY (keep,
+    sorted reasons, byte-identical scrubbed_text) — which also proves
+    LSH recall is total on the fixture — in BOTH survival modes; the
+    triangle pins their semantic difference; and the stage must be
+    off (no near_dup reason anywhere) by default."""
+    rows, copy_pairs = _near_dup_fixture()
+    df = spark.createDataFrame(rows, pages.PAGES_SCHEMA)
+    out = {
+        r["url"]: r.asDict()
+        for r in pipeline.curate(
+            df,
+            pipeline.CurateConfig(
+                num_buckets=8, near_dedup=True, near_dedup_mode=mode
+            ),
+        ).collect()
+    }
+    ora = pipeline_oracle.curate_rows(
+        rows,
+        pipeline_oracle.OracleConfig(near_dedup=True, near_dedup_mode=mode),
+    )
+    assert set(out) == set(ora)
+    for url, o in ora.items():
+        s = out[url]
+        assert s["keep"] == o["keep"], url
+        assert list(s["filter_reasons"]) == o["filter_reasons"], url
+        assert s["scrubbed_text"] == o["scrubbed_text"], url
+    fired = {u for u, o in ora.items() if "near_dup" in o["filter_reasons"]}
+    # each planted (original, one-token copy) pair drops exactly its
+    # lexicographically LARGER member — the min-url survivor rule
+    for orig, copy in copy_pairs:
+        loser, survivor = max(orig, copy), min(orig, copy)
+        assert loser in fired, (orig, copy, sorted(fired))
+        assert survivor not in fired, (orig, copy, sorted(fired))
+    # the triangle: component drops E and F; neighbor drops only F
+    # (E's sole neighbor F is larger, so E survives); D survives in
+    # both modes (it is each component's min url)
+    D = "https://tri-a.example.com/x"
+    E, FF = "https://tri-b.example.com/x", "https://tri-c.example.com/x"
+    assert D not in fired
+    assert FF in fired
+    if mode == "component":
+        assert E in fired
+    else:
+        assert E not in fired
+    # default path: no near_dup reason exists anywhere
+    off = pipeline_oracle.curate_rows(rows)
+    assert all("near_dup" not in o["filter_reasons"] for o in off.values())
+    # the stage's internal persist must not outlive the test in the
+    # shared session
+    spark.catalog.clearCache()
