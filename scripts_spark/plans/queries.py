@@ -3520,8 +3520,10 @@ DRIVER_WINDOW = [
     "dup_span_stats",
     # similarity / embeddings (banded-LSH scale path, IVF, JL projection)
     "bucketed_near_pairs", "ivf_assign", "random_projection",
-    # aggregations + corpus analytics
-    "pricing_summary", "wordfreq", "props_nonempty_share",
+    # aggregations + corpus analytics (wordfreq demoted mid-round-6:
+    # driver-green since r1, A-family kept by pricing_summary; slot
+    # goes to the new token-budget sampler)
+    "pricing_summary", "token_budget_sample", "props_nonempty_share",
     "value_quantiles", "term_lift", "bigram_model_counts",
     # joins (broadcast, arbitration, cascade, containment, as-of,
     # gold-label)
@@ -4393,6 +4395,89 @@ def token_budget_sample(spark, sf_dir):
         b.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@q(
+    "source_mix_weights",
+    """
+    SELECT source, n_tokens, w_raw,
+           CAST((1000 * w_raw) // total_raw AS BIGINT) AS w_milli
+    FROM (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_raw,
+             CAST(SUM(CAST(floor(sqrt(n_tokens)) AS BIGINT)) OVER ()
+                  AS BIGINT) AS total_raw
+      FROM (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source))
+    """,
+)
+def source_mix_weights(spark, sf_dir):
+    """Training-mix temperature weighting: per-source sampling weights
+    proportional to tokens^(1/T) with T=2 — the standard multilingual
+    / data-mixing rule that upsamples small sources relative to raw
+    token share. Engine-portable determinism: the weight is the
+    INTEGER isqrt of the per-source token count (IEEE sqrt of an
+    exact integer is correctly rounded, so floor(sqrt(n)) matches
+    across engines — no float normalization), and the per-mille share
+    is integer division by the exact BIGINT total. One cheap agg
+    (SUM of per-row token counts per source — no explode) plus a
+    window over the |sources|-row aggregate; scales trivially."""
+    d = T(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    per_src = (
+        d.filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.size(t)).cast("long").alias("n_tokens"))
+        .withColumn("w_raw", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    )
+    return (
+        per_src.withColumn("total_raw", F.sum("w_raw").over(Window.partitionBy()))
+        .withColumn("w_milli", F.expr("(1000 * w_raw) div total_raw"))
+        .select("source", "n_tokens", "w_raw", "w_milli")
+    )
+
+
+@q(
+    "domain_cap_sample",
+    """
+    SELECT doc_id, source, rank_in_source
+    FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id)
+                  AS BIGINT) AS rank_in_source
+      FROM (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('dc' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) AS pri
+        FROM documents WHERE text IS NOT NULL))
+    WHERE rank_in_source <= 12
+    """,
+)
+def domain_cap_sample(spark, sf_dir):
+    """Per-source document cap (the C4-style anti-SEO-farm rule: no
+    single domain may contribute more than N documents), selected in
+    deterministic salted-hash priority order so the capped subset is
+    reproducible and append-stable. Exact form = row_number window
+    per source; at 100 TB with mega-domains the same cut resolves
+    without a per-source global sort via the bucketed-prefix-count
+    pattern proven (and equivalence-tested) in
+    token_budget_sample_scalable — counts per priority bucket locate
+    the boundary bucket, only its sliver is sorted."""
+    d = T(spark, sf_dir, "documents")
+    cap = 12
+    pri = _md5_hash32(F.concat(F.lit("dc"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("_pri", "doc_id")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", pri.alias("_pri"))
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_source") <= cap)
+        .select("doc_id", "source", "rank_in_source")
     )
 
 

@@ -130,6 +130,8 @@ def test_driver_window_covers_critical_operators():
         # round 6: cross-corpus paragraph dedup, exact anchor + the
         # hash-keyed production twin sharing one oracle
         "paragraph_dedup", "paragraph_dedup_fast",
+        # round 6: token-budget training-mix sampling
+        "token_budget_sample",
     }
     assert critical <= set(first50)
     # every window slot must be value-checkable (has an oracle)
