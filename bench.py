@@ -327,15 +327,24 @@ def main() -> None:
         out["endurance_docs_per_sec"] = round(
             endurance_docs / timings["curate_endurance"], 1
         )
+    # the control arm is only for the query/curate rows — shut its JVM
+    # down BEFORE the probe blocks so its 48g heap isn't live (and its
+    # GC isn't running) while they measure; and settle the HEAD JVM
+    # after the 2M-doc endurance runs (probe arms measured 6x slower
+    # when run straight after endurance with the worker still up —
+    # same heap-residue failure mode as the r2 micro-query ordering)
+    if worker is not None:
+        worker.close()
+        worker = None
     if os.environ.get("BENCH_SKEW", "1") != "0":
+        _settle()
         out["skew"] = _skew_block(spark)
     if os.environ.get("BENCH_STREAM_STATE", "1") != "0":
+        _settle()
         out["stream_state"] = _stream_state_block(spark)
     scaling = _scaling_block()
     if scaling is not None:
         out["scaling"] = scaling
-    if worker is not None:
-        worker.close()
     if control is not None:
         if not control.get("errors", True):
             del control["errors"]
@@ -381,20 +390,31 @@ def _skew_block(spark) -> dict:
     ).withColumn("text", F.concat_ws("\n", F.array_repeat(F.col("text"), 16)))
     n_docs = hot.select("url").distinct().count()
     res: dict = {"docs": n_docs, "hot_domain_frac": 0.8, "page_kb_approx": 4}
-    for label, mode in (("salted_sec", "salted"), ("domain_keyed_sec", "domain")):
-        t0 = time.perf_counter()
-        force(
-            curate(
-                hot,
-                CurateConfig(
-                    num_buckets=BUCKETS,
-                    input_snapshot="skew",
-                    repartition_mode=mode,
-                ),
+    # arms INTERLEAVED (S,D,S,D) and min-of-2: a host steal burst that
+    # lands on one block-sequential arm fabricates (or erases) the
+    # skew effect — a round-6 probe measured salted 91s in a degraded
+    # window vs 14s minutes later at identical code. Interleaving
+    # bounds one burst's exposure to one sample of each arm.
+    trials = int(os.environ.get("BENCH_SKEW_TRIALS", "2"))
+    best = {"salted": float("inf"), "domain": float("inf")}
+    for _ in range(trials):
+        for mode in ("salted", "domain"):
+            t0 = time.perf_counter()
+            force(
+                curate(
+                    hot,
+                    CurateConfig(
+                        num_buckets=BUCKETS,
+                        input_snapshot="skew",
+                        repartition_mode=mode,
+                    ),
+                )
             )
-        )
-        res[label] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+            best[mode] = min(best[mode], time.perf_counter() - t0)
+            spark.catalog.clearCache()
+    res["salted_sec"] = round(best["salted"], 3)
+    res["domain_keyed_sec"] = round(best["domain"], 3)
+    res["trials"] = trials
     res["salt_speedup"] = round(res["domain_keyed_sec"] / res["salted_sec"], 2)
     return res
 

@@ -308,3 +308,24 @@ def test_near_dedup_stage_parity_and_reasons(spark, mode):
     # the stage's internal persist must not outlive the test in the
     # shared session
     spark.catalog.clearCache()
+
+
+def test_near_dedup_neighbor_mode_is_lazy(spark):
+    """The 'neighbor' survivor rule must keep curate() a pure plan
+    builder: constructing the plan runs ZERO Spark jobs (component
+    mode is allowed to run its label-propagation jobs eagerly — that
+    is its documented trade-off)."""
+    df = pages.pages_df(spark, 50, partitions=2)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = pipeline.curate(
+        df,
+        pipeline.CurateConfig(
+            num_buckets=4, near_dedup=True, near_dedup_mode="neighbor",
+            persist_intermediate=False,
+        ),
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "neighbor-mode plan build ran jobs"
+    assert out.columns[0] == "url"  # plan is intact and analyzable
+    spark.catalog.clearCache()
