@@ -4402,7 +4402,8 @@ def token_budget_sample(spark, sf_dir):
     "source_mix_weights",
     """
     SELECT source, n_tokens, w_raw,
-           CAST((1000 * w_raw) // total_raw AS BIGINT) AS w_milli
+           CAST(CASE WHEN total_raw > 0 THEN (1000 * w_raw) // total_raw END
+                AS BIGINT) AS w_milli
     FROM (
       SELECT source, n_tokens,
              CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_raw,
@@ -4437,7 +4438,11 @@ def source_mix_weights(spark, sf_dir):
     )
     return (
         per_src.withColumn("total_raw", F.sum("w_raw").over(Window.partitionBy()))
-        .withColumn("w_milli", F.expr("(1000 * w_raw) div total_raw"))
+        # guarded: an all-empty corpus has total 0 (ANSI div-by-zero)
+        .withColumn(
+            "w_milli",
+            F.expr("CASE WHEN total_raw > 0 THEN (1000 * w_raw) div total_raw END"),
+        )
         .select("source", "n_tokens", "w_raw", "w_milli")
     )
 
