@@ -4563,4 +4563,70 @@ def token_budget_sample_scalable(spark, sf_dir, n_buckets: int = 256):
     )
 
 
+# ---------------------------------------------------------------------------
+# HTML → text extraction (webtext input shape: pages arrive as raw
+# html; the text column must be derivable ON the engine).
+# The scaffold wraps each document's text in a page with every SPEC
+# hazard present — comments, script (with '<' and a fake tag inside a
+# JS string), style, break tags, entities (incl. double-encoded
+# &amp;lt;), &nbsp; — so the cross-engine value hash exercises every
+# normalization step of functions/html_extract.py on every row.
+
+_HTML_PRE = (
+    '<html><head><title>d</title><style type="text/css">.x{color:red}</style>'
+    '<script>if (1 < 2) { s = "&amp; <p>"; }</script></head>'
+    "<body><!-- hdr --><h1>Doc</h1><p>"
+)
+_HTML_POST = (
+    "</p><div>tail&nbsp;&quot;q&quot; &#39;a&#39; &amp;lt;u&gt;</div><br></body></html>"
+)
+
+
+def _html_extract_sql() -> str:
+    from scripts_spark.functions.html_extract import html_to_text_sql, _sq
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+    )
+    expr = f"'{_sq(_HTML_PRE)}' || {esc} || '{_sq(_HTML_POST)}'"
+    return (
+        "SELECT doc_id, extracted,"
+        " CAST(length(extracted) AS BIGINT) AS n_chars"
+        f" FROM (SELECT doc_id, {html_to_text_sql(expr)} AS extracted"
+        " FROM documents) t"
+    )
+
+
+@q("html_extract", _html_extract_sql())
+def html_extract(spark, sf_dir):
+    """Columnar HTML→text extraction (functions/html_extract.py SPEC)
+    demonstrated end-to-end: each document's text is html-escaped,
+    wrapped in a hazard-dense page scaffold, and recovered by the
+    extraction chain — all as built-in expressions in ONE projection
+    (no UDF, no shuffle; at crawl scale extraction rides the first
+    table scan for free). The reference reaches for a DOM parser here
+    (lxml tree walks over protocol XML); this is the fixed-spec
+    columnar re-expression, and the DuckDB twin is generated from the
+    SAME step tables (html_to_text_sql) so the engines cannot drift."""
+    from scripts_spark.functions.html_extract import html_to_text
+
+    d = T(spark, sf_dir, "documents")
+    e = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    ext = html_to_text(F.concat(F.lit(_HTML_PRE), e, F.lit(_HTML_POST)))
+    return d.select(
+        F.col("doc_id"),
+        ext.alias("extracted"),
+        F.length(ext).cast("long").alias("n_chars"),
+    )
+
+
 _curate_order()

@@ -1,0 +1,129 @@
+"""html_to_text: unit cases for every SPEC hazard + property fuzz of
+the Spark chain against an independent pure-Python implementation of
+the same spec (re module — a third regex engine besides Java regex
+and DuckDB's RE2, so an engine-specific quirk in any one of them
+shows up as a three-way disagreement somewhere)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from scripts_spark.functions.html_extract import (
+    HTML_ENTITY_STEPS,
+    HTML_REGEX_STEPS,
+    HTML_WS_STEPS,
+    html_to_text,
+)
+
+
+def py_html_to_text(s: str | None) -> str | None:
+    if s is None:
+        return None
+    for pat, rep in HTML_REGEX_STEPS:
+        s = re.sub(pat, rep, s)
+    for lit, rep in HTML_ENTITY_STEPS:
+        s = s.replace(lit, rep)
+    for pat, rep in HTML_WS_STEPS:
+        s = re.sub(pat, rep, s)
+    return s.strip(" \n")
+
+
+CASES = [
+    # comments stripped, incl. multi-line
+    ("a<!-- x\ny -->b", "ab"),
+    # script/style blocks vanish wholesale, case-insensitive, with
+    # '<' and fake tags inside; non-greedy stops at the FIRST close
+    ('<SCRIPT a=b>if (1 < 2) { s = "<p>"; }</script>tail', "tail"),
+    ("<style>.x{}</style>ok", "ok"),
+    ("<script>a</script>mid<script>b</script>", "mid"),
+    # unclosed script: only the tags are lost, content survives
+    ("<script>var x = 1;", "var x = 1;"),
+    # break tags -> newline, other tags -> space
+    ("<p>a</p><p>b</p>", "a\nb"),
+    ("<h2>t</h2>body<br>next", "t\nbody\nnext"),
+    ("a<span>b</span>c", "a b c"),
+    # entities decode AFTER tag-strip: &lt;u&gt; never becomes a tag
+    ("&lt;u&gt;x&lt;/u&gt;", "<u>x</u>"),
+    # double-encoded &amp;lt; -> &lt; (single-pass, NOT '<')
+    ("&amp;lt;", "&lt;"),
+    ("&nbsp;&quot;q&quot;&#39;a&#39;&apos;b&apos;&amp;", "\"q\"'a''b'&"),
+    # bare '<' eats to the next '>' exactly as the regex reads
+    ("1 < 2 > 0 done", "1 0 done"),
+    # whitespace: tabs/spaces collapse, newline runs collapse, outer trim
+    ("  a\t\tb  \n\n\n c ", "a b\nc"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_spec_cases_python(raw, expected):
+    assert py_html_to_text(raw) == expected
+
+
+def test_spec_cases_spark(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i int, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, (_, expected) in enumerate(CASES):
+        assert got[i] == expected, f"case {i}"
+
+
+def test_null_and_binary_input(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>hi</p>".encode()), (2, None)], "i int, h binary"
+    )
+    rows = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", html_to_text(F.col("h"), from_binary=True).alias("t")
+        ).collect()
+    }
+    assert rows == {1: "hi", 2: None}
+
+
+# Fragment soup biased toward the hazards: tag punctuation, entity
+# prefixes, partial script/style openers, whitespace runs.
+_frag = st.sampled_from(
+    [
+        "<", ">", "/", "&", ";", "!", "-", "--", " ", "\t", "\n",
+        "a", "b c", "script", "style", "p", "br", "div", "h3",
+        "<p>", "</p>", "<br/>", "<script>", "</script>", "<style>",
+        "</style>", "<!--", "-->", "&amp;", "&lt;", "&gt;", "&nbsp;",
+        "&quot;", "&#39;", "&apos;", "&amp;lt;", "<span class='x'>",
+        "</ SPAN>", "<x", "y>",
+    ]
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(_frag, max_size=25).map("".join), min_size=1, max_size=8))
+def test_fuzz_spark_matches_python(spark, docs):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i int, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == py_html_to_text(d), repr(d)
+
+
+def test_single_projection_no_shuffle(spark):
+    """The whole chain must stay one narrow projection: no Exchange,
+    no BatchEvalPython — at crawl scale extraction rides the scan."""
+    df = spark.range(10).select(
+        F.concat(F.lit("<p>"), F.col("id").cast("string"), F.lit("</p>")).alias("h")
+    )
+    plan = df.select(html_to_text(F.col("h")).alias("t"))._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+    assert "Python" not in plan
