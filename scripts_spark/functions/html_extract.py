@@ -43,6 +43,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# Bumped whenever any step table below changes — recorded in curate
+# lineage (CurateConfig.text_from_html) so downstream consumers can
+# tell which extraction spec produced a snapshot's text.
+EXTRACT_SPEC_VERSION = "1.0"
+
 # (pattern, replacement) — applied in order, all global.  Shared
 # verbatim with the DuckDB oracle builder below and mirrored by the
 # pure-Python test oracle (tests/test_html_extract.py).

@@ -43,6 +43,7 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from scripts_spark.functions import ids, langid, langmodel, perplexity, scoring_join, scoring_udf, text_kernel
+from scripts_spark.functions import html_extract
 from scripts_spark.sources.pages import domain_of
 
 PIPELINE_VERSION = "1.2"  # 1.2: toxicity lexicon scrub after PII
@@ -115,6 +116,14 @@ class CurateConfig:
     #   transitive chaining (a long a~b~c chain keeps every local
     #   minimum instead of collapsing to one doc) — over-retains
     #   relative to components but never merges unrelated docs.
+    # opt-in: derive the text column ON the engine from the raw
+    # html:binary payload (functions/html_extract.py fixed spec)
+    # instead of trusting the table's crawler-extracted text — the
+    # path for inputs whose text column is absent or suspect. A pure
+    # narrow projection before the url-dedup shuffle; html is still
+    # projected out before any exchange. No effect when a precomputed
+    # ``docs`` frame is passed to curate().
+    text_from_html: bool = False
     near_dedup: bool = False
     near_dup_num: int = 4  # Jaccard >= 4/5
     near_dup_den: int = 5
@@ -134,6 +143,8 @@ class CurateConfig:
         # plan (lineage literals included) must stay byte-identical to
         # pipeline 1.2, so bench plan-identity digests vs a
         # previous-round control clone read true
+        if self.text_from_html:
+            rv["text_from_html"] = f"on-{html_extract.EXTRACT_SPEC_VERSION}"
         if self.para_dedup:
             rv["para_dedup"] = f"on-{self.para_dup_num}/{self.para_dup_den}"
         if self.near_dedup:
@@ -512,6 +523,11 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     cfg = cfg or CurateConfig()
     if span_history is not None and not cfg.para_dedup:
         raise ValueError("span_history requires CurateConfig.para_dedup=True")
+    if cfg.text_from_html and docs is None:
+        pages = pages.withColumn(
+            "text",
+            html_extract.html_to_text(F.col("html"), from_binary=True),
+        )
     if docs is None:
         docs = deduped_docs(pages, cfg)
         # three consumers read this frame (boilerplate line counts,

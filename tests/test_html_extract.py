@@ -117,6 +117,44 @@ def test_fuzz_spark_matches_python(spark, docs):
         assert got[i] == py_html_to_text(d), repr(d)
 
 
+def test_curate_text_from_html_drop_in(spark):
+    """CurateConfig.text_from_html derives text from the binary html
+    payload on-engine; on pages whose text round-trips the html
+    scaffold (single-spaced — the extractor's ws-collapse is the only
+    lossy step), the full curate output is byte-identical to trusting
+    the text column, so the flag is a drop-in for untrusted crawls."""
+    from scripts_spark.plans.pipeline import CurateConfig, curate
+    from scripts_spark.sources.pages import pages_df
+
+    p = pages_df(spark, 800, partitions=4)
+    # collapse space runs (19/3000 fixture pages carry doubles), then
+    # rebuild html from the collapsed text exactly as the source does
+    clean = p.withColumn(
+        "text", F.regexp_replace("text", "[ \t]+", " ")
+    ).withColumn(
+        "html",
+        F.when(
+            F.col("text").isNotNull(),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ),
+        ),
+    )
+    cols = ["url", "keep", "scrubbed_text", "filter_reasons"]
+    off = curate(clean, CurateConfig(num_buckets=8)).select(cols)
+    on = curate(
+        clean, CurateConfig(num_buckets=8, text_from_html=True)
+    ).select(cols)
+    assert off.exceptAll(on).count() == 0
+    assert on.exceptAll(off).count() == 0
+    assert on.count() > 0
+
+
 def test_single_projection_no_shuffle(spark):
     """The whole chain must stay one narrow projection: no Exchange,
     no BatchEvalPython — at crawl scale extraction rides the scan."""
