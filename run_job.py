@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--salt", type=int, default=0)
     c.add_argument("--snapshot", default="cli")
     c.add_argument("--scorer", choices=["arrow", "join"], default="arrow")
+    c.add_argument("--text-from-html", action="store_true",
+                   help="derive the text column on-engine from the raw "
+                        "html:binary payload (fixed extraction spec) "
+                        "instead of trusting the table's text column")
     c.add_argument("--para-dedup", action="store_true",
                    help="corpus-wide paragraph dedup stage (post-boiler, "
                         "pre-rules; adds the para_dup_frac reason)")
@@ -180,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=a.buckets, salt=a.salt, input_snapshot=a.snapshot,
             scorer=a.scorer, para_dedup=a.para_dedup,
             near_dedup=a.near_dedup, near_dedup_mode=a.near_dedup_mode,
+            text_from_html=a.text_from_html,
         )
         dec = curate(df, cfg)
         stats = catalog.commit_buckets(dec, a.output)
