@@ -81,10 +81,15 @@ def html_to_text(col: Column, from_binary: bool = False) -> Column:
     """Extract readable text from an HTML column per the module SPEC.
 
     ``from_binary=True`` first decodes a ``binary`` column as UTF-8
-    (the input-hint shape stores pages as ``html: binary``).
-    Null html yields null text.
+    (the input-hint shape stores pages as ``html: binary``) via
+    ``cast(binary as string)``, which substitutes U+FFFD for malformed
+    byte sequences instead of failing — real crawls routinely carry
+    mislabeled/latin-1 pages, and under Spark 4's default ANSI mode
+    ``decode(..., 'UTF-8')`` would abort the WHOLE job on the first
+    bad row (one poisoned page must cost one document, never the
+    batch).  Null html yields null text.
     """
-    s = F.decode(col, "UTF-8") if from_binary else col
+    s = col.cast("string") if from_binary else col
     for pat, rep in HTML_REGEX_STEPS:
         s = F.regexp_replace(s, pat, rep)
     for lit, rep in HTML_ENTITY_STEPS:

@@ -104,6 +104,15 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def span_hash_cols(para: Column) -> tuple[Column, Column]:
+    """The 128-bit (xxhash64, confirm-xxhash64) span key — the ONE
+    definition shared by :func:`paragraph_dedup_hashed`, the curate
+    pipeline's para-dedup stage, and the streaming span state
+    (both import it from here via plans.pipeline), so no side can
+    silently drift to a different key family."""
+    return F.xxhash64(para), F.xxhash64(F.lit("pd2"), para)
+
+
 def paragraph_dedup_hashed(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", span: int = 8,
                            h1=None) -> DataFrame:
@@ -145,18 +154,26 @@ def paragraph_dedup_hashed(docs: DataFrame, id_col: str = "doc_id",
     default xxhash64 pair.
 
     Returns (id, n_paras, n_kept, dedup_text) — same as the exact form.
+
+    PRECONDITION (both forms): ``id_col`` is unique. The exact form
+    silently merges duplicate-id rows into one interleaved group (its
+    (id, idx) survivor key is ambiguous there), while this twin's
+    rebuild join would fan out per input row and mis-index ordinals
+    into the wrong row's span array — duplicate ids are a data error
+    for BOTH; gate upstream with plans.quality_checks (the
+    duplicate_id_audit operator) as the curate pipeline does with its
+    url-dedup stage.
     """
-    if h1 is None:
-        h1 = F.xxhash64
     t = tokens(F.col(text_col))
     spans = _span_array(t, span)
     live = docs.filter(F.col(text_col).isNotNull() & (F.size(t) > 0))
     p = live.select(F.col(id_col), F.posexplode(spans).alias("idx", "para"))
+    d_h1, d_h2 = span_hash_cols(F.col("para"))
     hp = p.select(
         id_col,
         "idx",
-        h1(F.col("para")).alias("_h1"),
-        F.xxhash64(F.lit("pd2"), F.col("para")).alias("_h2"),
+        (h1(F.col("para")) if h1 is not None else d_h1).alias("_h1"),
+        d_h2.alias("_h2"),
     )
     occ = F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
     w = Window.partitionBy("_h1", "_h2")

@@ -556,19 +556,22 @@ def append_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str,
     (key, content_hash) upstream or schedule rebuilds; silently
     rewriting partition files per changed row would break concurrent
     readers and replay idempotence."""
-    import os
-
-    if not os.path.isdir(f"{index_dir}/centroids") or not os.path.isdir(
-        f"{index_dir}/vectors"
-    ):
-        # appending before any build would otherwise surface as an
-        # opaque path-not-found from the parquet reader
+    # Missing-store detection goes through the reader itself (not
+    # os.path, which would reject every non-local index_dir — an
+    # hdfs:// or s3a:// store is invisible to the driver's local
+    # filesystem even though the parquet reader handles it fine); the
+    # reader's opaque PATH_NOT_FOUND is translated into the clear
+    # build-first message.
+    try:
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+        existing = spark.read.parquet(f"{index_dir}/vectors").select(key)
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         raise FileNotFoundError(
             f"no IVF index at {index_dir!r}: run build_ivf_index first "
             "(append_ivf_index only extends an existing store)"
-        )
-    cents = spark.read.parquet(f"{index_dir}/centroids")
-    existing = spark.read.parquet(f"{index_dir}/vectors").select(key)
+        ) from exc
     new = emb.join(existing, key, "left_anti")
     # persist: count() and the append both consume the anti-join +
     # assignment lineage — without it the store scan, anti-join and

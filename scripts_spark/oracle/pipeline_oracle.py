@@ -143,6 +143,10 @@ def curate_rows(rows: list[dict], cfg: OracleConfig | None = None) -> dict[str, 
                 union = len(sh[a]) + len(sh[b]) - inter
                 if inter > 0 and inter * cfg.near_dup_den >= union * cfg.near_dup_num:
                     pairs.append((a, b))
+        if cfg.near_dedup_mode not in ("component", "neighbor"):
+            # mirror pipeline._near_dup_losers: a typo'd mode must
+            # error here too, not silently produce neighbor output
+            raise ValueError(f"unknown near_dedup_mode {cfg.near_dedup_mode!r}")
         if cfg.near_dedup_mode == "component":
             parent: dict[str, str] = {}
 

@@ -121,8 +121,9 @@ class CurateConfig:
     # instead of trusting the table's crawler-extracted text — the
     # path for inputs whose text column is absent or suspect. A pure
     # narrow projection before the url-dedup shuffle; html is still
-    # projected out before any exchange. No effect when a precomputed
-    # ``docs`` frame is passed to curate().
+    # projected out before any exchange. Applied inside deduped_docs,
+    # so callers that precompute docs with the same cfg (streaming)
+    # get it too — the lineage record is truthful on every path.
     text_from_html: bool = False
     near_dedup: bool = False
     near_dup_num: int = 4  # Jaccard >= 4/5
@@ -191,7 +192,17 @@ def deduped_docs(pages: DataFrame, cfg: CurateConfig) -> DataFrame:
       rank identically to the oracle (pipeline_oracle maps None→'');
     - the post-dedup repartition spreads each bucket over
       target_partitions/num_buckets intra-bucket salt slices, so one
-      hot bucket (Zipfian domain skew) cannot serialize a stage."""
+      hot bucket (Zipfian domain skew) cannot serialize a stage.
+
+    cfg.text_from_html applies HERE (not in curate()) so EVERY path
+    that builds docs — batch curate, streaming's own deduped_docs
+    call — extracts identically; the lineage key rule_versions()
+    records is then truthful on all of them."""
+    if cfg.text_from_html:
+        pages = pages.withColumn(
+            "text",
+            html_extract.html_to_text(F.col("html"), from_binary=True),
+        )
     best = (
         pages.select(
             "url",
@@ -318,11 +329,10 @@ def boiler_line_evidence(docs: DataFrame, cfg: CurateConfig) -> tuple[DataFrame,
     return line_docs, dom_docs
 
 
-def span_hash_cols(para: Column) -> tuple[Column, Column]:
-    """The 128-bit (xxhash64, confirm-xxhash64) span key — ONE
-    definition shared by the batch dedup stage and the streaming span
-    state, so the two sides can never hash differently."""
-    return F.xxhash64(para), F.xxhash64(F.lit("pd2"), para)
+# the 128-bit span key definition lives with the dedup operators;
+# re-exported here because the batch stage and streaming span state
+# import it from this module
+from scripts_spark.operators.dedup import span_hash_cols  # noqa: E402
 
 
 def _corpus_para_dedup(
@@ -505,6 +515,22 @@ def _reasons(cfg: CurateConfig, c: dict[str, Column]) -> Column:
     return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
 
 
+# Frames curate() persists internally, so long-lived callers (the
+# streaming micro-batch loop, multi-query sessions) can release
+# exactly these instead of spark.catalog.clearCache() — which evicts
+# EVERY cached frame in the shared session, including the caller's own.
+_CURATE_PERSISTED: list[DataFrame] = []
+
+
+def drain_curate_persisted() -> None:
+    """Unpersist every frame curate() cached internally since the
+    last drain. Call after the decision frame has been fully
+    materialized (written/collected); draining earlier is safe but
+    recomputes the post-boiler chain on the next action."""
+    while _CURATE_PERSISTED:
+        _CURATE_PERSISTED.pop().unpersist()
+
+
 def curate(pages: DataFrame, cfg: CurateConfig | None = None,
            boiler_override: DataFrame | None = None,
            docs: DataFrame | None = None,
@@ -523,11 +549,6 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     cfg = cfg or CurateConfig()
     if span_history is not None and not cfg.para_dedup:
         raise ValueError("span_history requires CurateConfig.para_dedup=True")
-    if cfg.text_from_html and docs is None:
-        pages = pages.withColumn(
-            "text",
-            html_extract.html_to_text(F.col("html"), from_binary=True),
-        )
     if docs is None:
         docs = deduped_docs(pages, cfg)
         # three consumers read this frame (boilerplate line counts,
@@ -536,6 +557,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         # + repair chain
         if cfg.persist_intermediate and boiler_override is None:
             docs = docs.persist()
+            _CURATE_PERSISTED.append(docs)
     boiler = boilerplate_sets(docs, cfg) if boiler_override is None else boiler_override
 
     d = docs.join(F.broadcast(boiler), "domain", "left")
@@ -555,6 +577,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         # chain isn't recomputed for the signature/verify branches
         if cfg.persist_intermediate:
             d = d.persist()
+            _CURATE_PERSISTED.append(d)
         losers = _near_dup_losers(d, cfg)
         d = d.join(
             losers.select("url").withColumn("_nd_loser", F.lit(True)),
@@ -571,6 +594,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     # consumes d twice, so checkpoint it there.
     if cfg.scorer != "arrow" and cfg.persist_intermediate:
         d = d.persist()
+        _CURATE_PERSISTED.append(d)
     # langid + perplexity scoring. Two interchangeable physical forms
     # with identical results (both pinned to the oracle):
     # - "arrow" (default): broadcast model tables inside an Arrow

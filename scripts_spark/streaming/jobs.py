@@ -20,6 +20,8 @@ here serves two engine-native purposes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from scripts_spark.plans.pipeline import (
@@ -29,6 +31,7 @@ from scripts_spark.plans.pipeline import (
     boilerplate_sets,
     curate,
     deduped_docs,
+    drain_curate_persisted,
     span_hash_cols,
 )
 from scripts_spark.sources import catalog
@@ -87,6 +90,19 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     cfg = cfg or CurateConfig()
     if span_state_dir is not None and not cfg.para_dedup:
         raise ValueError("span_state_dir requires CurateConfig.para_dedup=True")
+    if (
+        boiler_state_dir is not None
+        and span_state_dir is not None
+        and os.path.abspath(boiler_state_dir) == os.path.abspath(span_state_dir)
+    ):
+        # both stores keep their compaction watermark at
+        # <dir>/COMPACTED_THROUGH — sharing a directory would let one
+        # stage's compaction advance (or roll back) the other's marker
+        # past snapshots its GC already deleted
+        raise ValueError(
+            "boiler_state_dir and span_state_dir must be distinct "
+            f"directories (both set to {boiler_state_dir!r})"
+        )
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
     if dedup_urls_across_batches:
         stream = stream.withWatermark("warc_ts", dedup_watermark)
@@ -136,12 +152,12 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
         finally:
             if docs is not None:
                 docs.unpersist()
-            if cfg.near_dedup:
-                # curate's near-dedup stage persists its post-boiler
-                # frame internally (no handle reaches us) — sweep it so
-                # a long-running stream doesn't accumulate one cached
-                # RDD per micro-batch
-                spark.catalog.clearCache()
+            # release exactly the frames curate() cached internally
+            # (near-dedup post-boiler frame, its own docs persist when
+            # we didn't pass one) — NOT catalog.clearCache(), which
+            # would also evict every caller-owned cached frame in the
+            # shared session
+            drain_curate_persisted()
             if evidence is not None:
                 evidence.unpersist()
 

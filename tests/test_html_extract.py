@@ -77,8 +77,12 @@ def test_spec_cases_spark(spark):
 
 
 def test_null_and_binary_input(spark):
+    # row 3 is malformed UTF-8: must degrade to U+FFFD per byte, not
+    # abort the job (ANSI decode() would — one poisoned page in a
+    # crawl must cost one document, never the batch)
     df = spark.createDataFrame(
-        [(1, "<p>hi</p>".encode()), (2, None)], "i int, h binary"
+        [(1, "<p>hi</p>".encode()), (2, None), (3, b"\xff<p>x</p>\xfe")],
+        "i int, h binary",
     )
     rows = {
         r["i"]: r["t"]
@@ -86,7 +90,10 @@ def test_null_and_binary_input(spark):
             "i", html_to_text(F.col("h"), from_binary=True).alias("t")
         ).collect()
     }
-    assert rows == {1: "hi", 2: None}
+    assert rows[1] == "hi"
+    assert rows[2] is None
+    expected = py_html_to_text(b"\xff<p>x</p>\xfe".decode("utf-8", "replace"))
+    assert rows[3] == expected and rows[3].count("�") == 2
 
 
 # Fragment soup biased toward the hazards: tag punctuation, entity
@@ -146,13 +153,20 @@ def test_curate_text_from_html_drop_in(spark):
         ),
     )
     cols = ["url", "keep", "scrubbed_text", "filter_reasons"]
-    off = curate(clean, CurateConfig(num_buckets=8)).select(cols)
-    on = curate(
-        clean, CurateConfig(num_buckets=8, text_from_html=True)
-    ).select(cols)
-    assert off.exceptAll(on).count() == 0
-    assert on.exceptAll(off).count() == 0
-    assert on.count() > 0
+    from scripts_spark.plans.pipeline import drain_curate_persisted
+
+    try:
+        off = curate(clean, CurateConfig(num_buckets=8)).select(cols)
+        on = curate(
+            clean, CurateConfig(num_buckets=8, text_from_html=True)
+        ).select(cols)
+        assert off.exceptAll(on).count() == 0
+        assert on.exceptAll(off).count() == 0
+        assert on.count() > 0
+    finally:
+        # curate persists its docs frame internally; release so later
+        # tests asserting a cache-clean session aren't poisoned
+        drain_curate_persisted()
 
 
 def test_single_projection_no_shuffle(spark):
