@@ -4629,4 +4629,42 @@ def html_extract(spark, sf_dir):
     )
 
 
+@q(
+    "approx_distinct_tolerance",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_tolerance(spark, sf_dir):
+    """HLL sketch count-distinct with its tolerance as the CONTRACT
+    (SURVEY A5's metrics-grade production twin). distinct_users is the
+    exact anchor; its exchange carries every distinct (group, user)
+    value — at 10^12 docs that is the distinct-value volume itself.
+    approx_count_distinct carries one ~kB HyperLogLog sketch per group
+    with map-side partial merge, so the shuffle is O(groups), not
+    O(distincts): that is the arm a 100 TB metrics rollup runs.
+
+    Rather than oracle the sketch value (engine-specific), the query
+    returns the exact count plus ``approx_ok`` = |hll − exact| ≤ 5% ·
+    exact, and the oracle pins ``approx_ok`` to TRUE: Spark's HLL is
+    deterministic for a given input set, so the driver's value-hash
+    compare turns the rsd=0.01 accuracy claim into a checked invariant
+    instead of a docstring promise. A production run drops the exact
+    arm and keeps the sketch."""
+    ev = T(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_n_hll"),
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("_n_hll") - F.col("n_exact")) * 100
+         <= F.col("n_exact") * 5).alias("approx_ok"),
+    )
+
+
 _curate_order()
