@@ -4653,13 +4653,25 @@ def approx_distinct_tolerance(spark, sf_dir):
     deterministic for a given input set, so the driver's value-hash
     compare turns the rsd=0.01 accuracy claim into a checked invariant
     instead of a docstring promise. A production run drops the exact
-    arm and keeps the sketch."""
+    arm and keeps the sketch.
+
+    The two arms are SEPARATE aggregations joined on the (tiny) group
+    key — NOT one combined agg. Combined, Catalyst plans the exact
+    DISTINCT via (group, user) expansion and then drags the full
+    ~1.6k-long HLL buffer along on every distinct-user row through
+    that exchange (sketch × distincts — worse than exact alone).
+    Split, the sketch arm is what it should be: partial_approx per
+    input partition keyed by group only, one O(groups × sketch)
+    exchange, merge — pinned by
+    tests/test_plans.py::test_approx_distinct_sketch_merges_map_side."""
     ev = T(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_exact"),
-        F.approx_count_distinct("user_id", rsd=0.01).alias("_n_hll"),
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
     )
-    return g.select(
+    hll = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_n_hll")
+    )
+    return exact.join(hll, "event_type").select(
         "event_type",
         "n_exact",
         (F.abs(F.col("_n_hll") - F.col("n_exact")) * 100

@@ -570,3 +570,27 @@ def test_term_lift_wide_survives_bigint_overflow(spark):
     except Exception:
         narrow = None  # ANSI mode: long multiply overflow raises
     assert narrow != 10**10
+
+
+def test_approx_distinct_sketch_merges_map_side(spark):
+    """The HLL arm of approx_distinct_tolerance must aggregate keyed by
+    the GROUP only: partial sketch per input partition, one
+    O(groups x sketch) exchange, merge. The tempting one-agg form
+    (count_distinct + approx_count_distinct together) makes Catalyst
+    expand to (group, user) distinct rows and drag the ~1.6k-long HLL
+    buffer on every one of them through that exchange — sketch x
+    distincts, worse than exact alone."""
+    import re
+
+    df = Q.REGISTRY["approx_distinct_tolerance"](spark, SF)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    group_only = re.findall(
+        r"HashAggregate\(keys=\[event_type#\d+\],"
+        r" functions=\[partial_approx_count_distinct", plan
+    )
+    dragged = re.findall(
+        r"keys=\[event_type#\d+, user_id#\d+L?\],"
+        r" functions=\[[^\]]*approx_count_distinct", plan
+    )
+    assert len(group_only) == 1, plan
+    assert not dragged, plan
