@@ -160,6 +160,17 @@ def main(argv: list[str] | None = None) -> int:
                          "the whole crawl history; requires --para-dedup)")
     st.add_argument("--span-compact-every", type=int, default=16,
                     help="fold span state into a snapshot every K batches")
+    st.add_argument("--near-dedup", action="store_true",
+                    help="MinHash near-dedup stage per micro-batch")
+    st.add_argument("--near-dedup-mode", default="component",
+                    choices=["component", "neighbor"])
+    st.add_argument("--sig-state", default=None,
+                    help="state dir for cross-batch near-dedup MinHash "
+                         "signatures (drops documents near-duplicating "
+                         "any PRIOR drop; requires --near-dedup)")
+    st.add_argument("--sig-compact-every", type=int, default=16,
+                    help="fold signature state into a snapshot every K "
+                         "batches")
     st.add_argument("--max-files-per-trigger", type=int, default=None)
 
     a = p.parse_args(argv)
@@ -193,7 +204,9 @@ def main(argv: list[str] | None = None) -> int:
         from scripts_spark.streaming.jobs import stream_curate
 
         cfg = CurateConfig(num_buckets=a.buckets, input_snapshot=a.snapshot,
-                           para_dedup=a.para_dedup)
+                           para_dedup=a.para_dedup,
+                           near_dedup=a.near_dedup,
+                           near_dedup_mode=a.near_dedup_mode)
         q = stream_curate(
             spark, a.input, a.output, a.checkpoint, cfg,
             max_files_per_trigger=a.max_files_per_trigger,
@@ -202,6 +215,8 @@ def main(argv: list[str] | None = None) -> int:
             boiler_compact_every=a.compact_every,
             span_state_dir=a.span_state,
             span_compact_every=a.span_compact_every,
+            sig_state_dir=a.sig_state,
+            sig_compact_every=a.sig_compact_every,
         )
         q.awaitTermination()
         # a valid run over an empty input commits zero batches and never

@@ -229,6 +229,29 @@ def minhash_signatures(df: DataFrame, key: str, text_col: str = "text",
     return sh.groupBy(key).agg(*aggs)
 
 
+def signature_with_bands(sig: DataFrame, key: str, num_hashes: int = 16,
+                         bands: int = 8) -> DataFrame:
+    """(key, sig: array<long>, bks: array<long>) — the compact row a
+    cross-corpus signature STORE keeps per document: the full MinHash
+    signature plus one precomputed band key per band (same
+    xxhash64-of-band-columns family lsh_candidate_pairs uses). At
+    ~(num_hashes + bands + 1) longs per document this is what rides a
+    state table or an inter-job handoff; candidates against the store
+    are a posexplode of ``bks`` on both sides and an equi-join on
+    (band, band_key), and similarity is estimated from the signatures
+    alone (matching components / num_hashes) — no document text ever
+    enters the store."""
+    rpb = num_hashes // bands
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    bks = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * rpb + r}") for r in range(rpb)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(key), sig_arr.alias("sig"), bks.alias("bks"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, key: str, num_hashes: int = 16,
                         bands: int = 8) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash):

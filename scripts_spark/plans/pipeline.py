@@ -401,13 +401,24 @@ def _corpus_para_dedup(
     )
 
 
-def _near_dup_losers(d: DataFrame, cfg: CurateConfig) -> DataFrame:
+def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
+                     sig_history: DataFrame | None = None) -> DataFrame:
     """(url, near_dup_of) for every document that LOSES near-dedup —
     i.e. is a verified near-duplicate whose cluster survivor is some
     other (smaller-url) document. Input is the post-boiler frame with
     ``kept_paras``; detection text is the joined kept paragraphs, so
     boilerplate (and, if on, corpus-duplicated paragraphs) never vote
     on similarity.
+
+    ``sig_history`` ((url, sig, bks) rows from PRIOR micro-batches —
+    see near_dup_sig_evidence) additionally drops any current document
+    that near-duplicates crawl HISTORY: candidates via (band,
+    band_key) equi-join of the current batch's band keys against the
+    store, similarity estimated from the signatures alone (matching
+    MinHash components · den ≥ num · num_hashes — the store carries no
+    text to shingle-verify against, which is exactly why it is
+    ~25 longs/doc instead of the corpus). Within-batch pairs keep the
+    exact shingle verify; the estimate applies only across batches.
 
     Scale shape: signatures are one explode + partial-agg'd groupBy
     (16 longs/doc through the exchange), candidates an equi self-join
@@ -439,20 +450,91 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig) -> DataFrame:
     ).select("key_a", "key_b")
     if cfg.near_dedup_mode == "component":
         comp = D.connected_components(pairs)
-        return comp.filter(F.col("node") != F.col("group")).select(
+        batch_losers = comp.filter(F.col("node") != F.col("group")).select(
             F.col("node").alias("url"), F.col("group").alias("near_dup_of")
         )
-    if cfg.near_dedup_mode != "neighbor":
+    elif cfg.near_dedup_mode == "neighbor":
+        # pairs always carry key_a < key_b, so "has any strictly-smaller
+        # verified neighbor" == "appears on the b side of some pair"
+        batch_losers = (
+            pairs.groupBy("key_b")
+            .agg(F.min("key_a").alias("near_dup_of"))
+            .withColumnRenamed("key_b", "url")
+        )
+    else:
         raise ValueError(
             f"near_dedup_mode must be 'component' or 'neighbor', "
             f"got {cfg.near_dedup_mode!r}"
         )
-    # pairs always carry key_a < key_b, so "has any strictly-smaller
-    # verified neighbor" == "appears on the b side of some pair"
+    if sig_history is None:
+        return batch_losers
+    cur = D.signature_with_bands(
+        sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
+    )
+    cb = cur.select("url", "sig", F.posexplode("bks").alias("band", "band_key"))
+    hb = sig_history.select(
+        F.col("url").alias("h_url"),
+        F.col("sig").alias("h_sig"),
+        F.posexplode("bks").alias("band", "band_key"),
+    )
+    # url != h_url: a recrawl of the SAME url is the url-dedup stage's
+    # business (watermarked upstream), not a near-duplicate of itself
+    cand = (
+        cb.join(hb, ["band", "band_key"])
+        .filter(F.col("url") != F.col("h_url"))
+        .select("url", "sig", "h_url", "h_sig")
+        .distinct()
+    )
+    m = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("h_sig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    hist_losers = (
+        cand.withColumn("_m", m)
+        .filter(
+            F.col("_m") * cfg.near_dup_den
+            >= F.lit(cfg.near_dup_num * cfg.near_dedup_hashes)
+        )
+        .groupBy("url")
+        .agg(F.min("h_url").alias("near_dup_of"))
+    )
+    # a url can lose both ways (in-batch AND vs history); the caller
+    # left-joins on url, so the union must stay unique per url
     return (
-        pairs.groupBy("key_b")
-        .agg(F.min("key_a").alias("near_dup_of"))
-        .withColumnRenamed("key_b", "url")
+        batch_losers.unionByName(hist_losers)
+        .groupBy("url")
+        .agg(F.min("near_dup_of").alias("near_dup_of"))
+    )
+
+
+def near_dup_sig_evidence(docs: DataFrame, boiler: DataFrame,
+                          cfg: CurateConfig) -> DataFrame:
+    """This batch's (url, sig, bks) rows for the cross-batch near-dup
+    signature store — EVERY post-boiler document's signature, losers
+    included (a future page similar only to a dropped loser still
+    near-duplicates corpus content, and including losers keeps the
+    write independent of the loser computation, so it can run after
+    the bucket commit with the same crash-replay idempotence as
+    _write_span_evidence). Detection text is the post-boiler kept
+    paragraphs (pre span-dedup when cfg.para_dedup is also on —
+    evidence is built the same way for every batch, so the estimate
+    is self-consistent across the stream)."""
+    from scripts_spark.operators import dedup as D
+
+    bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))
+    kept = F.filter(F.col("paras"), lambda p: ~F.array_contains(bset, p))
+    txt = (
+        docs.join(F.broadcast(boiler), "domain", "left")
+        .select("url", F.array_join(kept, "\n").alias("_nd_text"))
+        .filter(F.length("_nd_text") > 0)
+    )
+    sig = D.minhash_signatures(
+        txt, "url", "_nd_text", cfg.near_dedup_hashes, cfg.near_dedup_shingle_k
+    )
+    return D.signature_with_bands(
+        sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
     )
 
 
@@ -534,7 +616,8 @@ def drain_curate_persisted() -> None:
 def curate(pages: DataFrame, cfg: CurateConfig | None = None,
            boiler_override: DataFrame | None = None,
            docs: DataFrame | None = None,
-           span_history: DataFrame | None = None) -> DataFrame:
+           span_history: DataFrame | None = None,
+           sig_history: DataFrame | None = None) -> DataFrame:
     """Full pipeline → decision frame (SURVEY.md §7.0 output schema +
     bucket column for manifests/metrics).
 
@@ -545,10 +628,15 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     deduped_docs frame for the same pages, so a caller that needed it
     for evidence extraction doesn't pay the dedup+repair chain twice.
     ``span_history``: earlier-batch span keys for the paragraph-dedup
-    stage (see _corpus_para_dedup) — requires ``cfg.para_dedup``."""
+    stage (see _corpus_para_dedup) — requires ``cfg.para_dedup``.
+    ``sig_history``: earlier-batch (url, sig, bks) MinHash rows for
+    the near-dedup stage (see near_dup_sig_evidence) — requires
+    ``cfg.near_dedup``."""
     cfg = cfg or CurateConfig()
     if span_history is not None and not cfg.para_dedup:
         raise ValueError("span_history requires CurateConfig.para_dedup=True")
+    if sig_history is not None and not cfg.near_dedup:
+        raise ValueError("sig_history requires CurateConfig.near_dedup=True")
     if docs is None:
         docs = deduped_docs(pages, cfg)
         # three consumers read this frame (boilerplate line counts,
@@ -578,7 +666,7 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         if cfg.persist_intermediate:
             d = d.persist()
             _CURATE_PERSISTED.append(d)
-        losers = _near_dup_losers(d, cfg)
+        losers = _near_dup_losers(d, cfg, sig_history=sig_history)
         d = d.join(
             losers.select("url").withColumn("_nd_loser", F.lit(True)),
             "url",

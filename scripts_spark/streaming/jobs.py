@@ -32,6 +32,7 @@ from scripts_spark.plans.pipeline import (
     curate,
     deduped_docs,
     drain_curate_persisted,
+    near_dup_sig_evidence,
     span_hash_cols,
 )
 from scripts_spark.sources import catalog
@@ -55,7 +56,9 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   boiler_state_dir: str | None = None,
                   boiler_compact_every: int | None = 16,
                   span_state_dir: str | None = None,
-                  span_compact_every: int | None = 16):
+                  span_compact_every: int | None = 16,
+                  sig_state_dir: str | None = None,
+                  sig_compact_every: int | None = 16):
     """File-source stream → batch curate per micro-batch → manifest
     commit. Returns the started StreamingQuery.
 
@@ -86,23 +89,42 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     paragraph whose key a PRIOR batch already recorded — an
     incremental crawl drop therefore dedups against the whole crawl
     history, not just its own batch, with state that is 16 bytes/span
-    and compacted/GC'd on the same snapshot+watermark discipline."""
+    and compacted/GC'd on the same snapshot+watermark discipline.
+
+    ``sig_state_dir`` (requires ``cfg.near_dedup``) does the same for
+    NEAR-duplicate pages: each batch appends the (url, sig, bks)
+    MinHash rows of its post-boiler documents (~25 longs/doc, never
+    text), and the near-dedup stage additionally drops any current
+    document whose signature near-matches a PRIOR batch's — an
+    edited repost landing in a later crawl drop is caught against the
+    whole crawl history. Cross-batch similarity is estimated from the
+    signatures (matching components ≥ num/den of the hashes);
+    within-batch pairs keep the exact shingle verify."""
     cfg = cfg or CurateConfig()
     if span_state_dir is not None and not cfg.para_dedup:
         raise ValueError("span_state_dir requires CurateConfig.para_dedup=True")
-    if (
-        boiler_state_dir is not None
-        and span_state_dir is not None
-        and os.path.abspath(boiler_state_dir) == os.path.abspath(span_state_dir)
-    ):
-        # both stores keep their compaction watermark at
-        # <dir>/COMPACTED_THROUGH — sharing a directory would let one
-        # stage's compaction advance (or roll back) the other's marker
-        # past snapshots its GC already deleted
-        raise ValueError(
-            "boiler_state_dir and span_state_dir must be distinct "
-            f"directories (both set to {boiler_state_dir!r})"
-        )
+    if sig_state_dir is not None and not cfg.near_dedup:
+        raise ValueError("sig_state_dir requires CurateConfig.near_dedup=True")
+    named = [
+        ("boiler_state_dir", boiler_state_dir),
+        ("span_state_dir", span_state_dir),
+        ("sig_state_dir", sig_state_dir),
+    ]
+    seen: dict[str, str] = {}
+    for name, p in named:
+        if p is None:
+            continue
+        ap = os.path.abspath(p)
+        if ap in seen:
+            # every store keeps its compaction watermark at
+            # <dir>/COMPACTED_THROUGH — sharing a directory would let
+            # one stage's compaction advance (or roll back) another's
+            # marker past snapshots its GC already deleted
+            raise ValueError(
+                f"{seen[ap]} and {name} must be distinct directories "
+                f"(both set to {p!r})"
+            )
+        seen[ap] = name
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
     if dedup_urls_across_batches:
         stream = stream.withWatermark("warc_ts", dedup_watermark)
@@ -112,7 +134,12 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
         if batch_df.isEmpty():
             return
         boiler, docs, evidence = None, None, None
-        if boiler_state_dir is not None or span_state_dir is not None:
+        any_state = (
+            boiler_state_dir is not None
+            or span_state_dir is not None
+            or sig_state_dir is not None
+        )
+        if any_state:
             # compute + persist the deduped/repaired docs frame ONCE:
             # the evidence writes and the curate pass all read it
             # (without this the scan + url-dedup + repair chain runs 3x
@@ -123,8 +150,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                 spark, docs, batch_id, boiler_state_dir, cfg,
                 compact_every=boiler_compact_every,
             )
-        elif span_state_dir is not None:
-            # span evidence and the strip must agree on the boiler
+        elif any_state:
+            # span/sig evidence and the strip must agree on the boiler
             # sets: compute the batch-local sets ONCE here and hand
             # them to curate as the override
             boiler = boilerplate_sets(docs, cfg)
@@ -133,9 +160,14 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
             span_hist = _span_state(
                 spark, span_state_dir, batch_id, span_compact_every
             )
+        sig_hist = None
+        if sig_state_dir is not None:
+            sig_hist = _sig_state(
+                spark, sig_state_dir, batch_id, sig_compact_every
+            )
         try:
             dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs,
-                         span_history=span_hist)
+                         span_history=span_hist, sig_history=sig_hist)
             # the commit unit is (job_id=batch_id, bucket): a replayed
             # micro-batch resumes its own partial commit, while a NEW
             # batch whose documents hash into buckets an earlier batch
@@ -149,6 +181,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                 # replay is still exclusive of this batch (see
                 # _span_state)
                 _write_span_evidence(docs, boiler, batch_id, span_state_dir)
+            if sig_state_dir is not None:
+                _write_sig_evidence(docs, boiler, cfg, batch_id, sig_state_dir)
         finally:
             if docs is not None:
                 docs.unpersist()
@@ -300,40 +334,65 @@ def _span_state(spark: SparkSession, state_dir: str, batch_id: int,
     attempt saw. Unlike boiler counts (which must include the current
     batch), first-occurrence dedup wants strictly-prior state, so the
     exclusive read is the semantics, not just crash hygiene."""
+    return _history_state(
+        spark, state_dir, batch_id, compact_every,
+        sub="spans", schema="h1 long, h2 long", cols=["h1", "h2"],
+    )
+
+
+def _sig_state(spark: SparkSession, state_dir: str, batch_id: int,
+               compact_every: int | None) -> DataFrame:
+    """Cross-batch near-dup history: the (url, sig, bks) MinHash rows
+    of every post-boiler document processed by micro-batches BEFORE
+    this one — the span state's exclusive-read/compaction/GC
+    discipline verbatim (see _span_state for why the history must
+    exclude the current batch on replay), applied to signature rows
+    instead of span keys."""
+    return _history_state(
+        spark, state_dir, batch_id, compact_every,
+        sub="sigs",
+        schema="url string, sig array<bigint>, bks array<bigint>",
+        cols=["url", "sig", "bks"],
+    )
+
+
+def _history_state(spark: SparkSession, state_dir: str, batch_id: int,
+                   compact_every: int | None, *, sub: str, schema: str,
+                   cols: list[str]) -> DataFrame:
     through = _compacted_through(state_dir)
     if batch_id <= through:
         raise ValueError(
-            f"span state watermark ({through}) is at or ahead of "
+            f"{sub} state watermark ({through}) is at or ahead of "
             f"micro-batch id {batch_id}: this state_dir was compacted "
             "by a different (or further-along) checkpoint. Resume with "
-            "the original checkpoint_dir, or clear the span state_dir."
+            f"the original checkpoint_dir, or clear the {sub} state_dir."
         )
-    if _has_batch_partitions(state_dir, "spans"):
+    if _has_batch_partitions(state_dir, sub):
         tail = (
-            spark.read.parquet(f"{state_dir}/spans")
+            spark.read.parquet(f"{state_dir}/{sub}")
             .filter(
                 (F.col("batch_id") > through) & (F.col("batch_id") < batch_id)
             )
-            .select("h1", "h2")
+            .select(*cols)
         )
     else:
-        tail = spark.createDataFrame([], "h1 long, h2 long")
+        tail = spark.createDataFrame([], schema)
     hist = tail
     if through >= 0:
         hist = tail.unionByName(
             spark.read.parquet(
-                f"{state_dir}/spans_compacted/through={through}"
-            ).select("h1", "h2")
+                f"{state_dir}/{sub}_compacted/through={through}"
+            ).select(*cols)
         )
     if compact_every and (batch_id - 1) - through >= compact_every:
         hist.distinct().hint("rebalance").write.mode("overwrite").parquet(
-            f"{state_dir}/spans_compacted/through={batch_id - 1}"
+            f"{state_dir}/{sub}_compacted/through={batch_id - 1}"
         )
         _advance_watermark(state_dir, batch_id - 1)
-        _gc_folded(state_dir, "spans", batch_id - 1)
+        _gc_folded(state_dir, sub, batch_id - 1)
         hist = spark.read.parquet(
-            f"{state_dir}/spans_compacted/through={batch_id - 1}"
-        ).select("h1", "h2")
+            f"{state_dir}/{sub}_compacted/through={batch_id - 1}"
+        ).select(*cols)
     return hist
 
 
@@ -362,6 +421,25 @@ def _write_span_evidence(docs: DataFrame, boiler: DataFrame, batch_id: int,
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(f"{state_dir}/spans")
+    )
+
+
+def _write_sig_evidence(docs: DataFrame, boiler: DataFrame,
+                        cfg: CurateConfig, batch_id: int,
+                        state_dir: str) -> None:
+    """Append this batch's (url, sig, bks) MinHash rows as its own
+    ``batch_id=`` partition — same dynamic-overwrite crash-replay
+    idempotence as _write_span_evidence; see
+    plans.pipeline.near_dup_sig_evidence for what the rows are and
+    why losers are included."""
+    (
+        near_dup_sig_evidence(docs, boiler, cfg)
+        .withColumn("batch_id", F.lit(batch_id))
+        .hint("rebalance")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{state_dir}/sigs")
     )
 
 

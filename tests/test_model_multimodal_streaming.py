@@ -650,3 +650,78 @@ def test_span_state_replay_sees_history_exclusive_of_itself(spark, tmpdirs):
     _span_state(spark, span_dir, 5, compact_every=1)  # folds through=4
     with _pt.raises(ValueError, match="watermark"):
         _span_state(spark, span_dir, 4, None)
+
+
+def test_stream_curate_cross_batch_near_dedup(spark, tmpdirs):
+    """Two crawl drops where drop 2 reposts a drop-1 page's content at
+    a DIFFERENT url: with sig_state_dir set, the near-dedup stage
+    drops the repost against the signature history (url-dedup cannot
+    catch it — the url is new; within-batch LSH cannot either — the
+    original is in an already-committed batch), while unrelated drop-2
+    content is untouched and drop 1 keeps its own decisions. With
+    sig_compact_every=1 the history drop 2 reads lives in a compacted
+    snapshot, exercising the watermark/GC path for signature rows."""
+    import datetime
+    import os
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, near_dedup=True,
+                       near_dedup_mode="neighbor")
+    sig_dir = state + "/sigstate"
+    BODY = ("riksdagen behandlade i dag utskottets omfattande betänkande "
+            "om den nya förvaltningslagen\n"
+            "beslutet fattades efter en lång debatt där flera ledamöter "
+            "yttrade sig om förslagets konsekvenser")
+
+    def drop(i, rows):
+        df = spark.createDataFrame(rows, PAGES_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                             sig_state_dir=sig_dir, sig_compact_every=1)
+        q.awaitTermination(180)
+
+    drop(0, [
+        ("https://a0.example.com/orig", datetime.datetime(2020, 4, 1),
+         None, BODY, "sv"),
+        ("https://a0.example.com/other", datetime.datetime(2020, 4, 1),
+         None, "helt annat innehåll om en orelaterad fråga i kammaren",
+         "sv"),
+    ])
+    drop(1, [
+        ("https://b1.example.com/repost", datetime.datetime(2020, 4, 2),
+         None, BODY, "sv"),
+        ("https://b1.example.com/fresh", datetime.datetime(2020, 4, 2),
+         None, "ytterligare unikt innehåll utan motsvarighet i arkivet",
+         "sv"),
+    ])
+
+    out = {r["url"]: r["filter_reasons"]
+           for r in catalog.read_output(spark, out_dir).collect()}
+    assert len(out) == 4
+    assert "near_dup" in out["https://b1.example.com/repost"]
+    for u in ("https://a0.example.com/orig", "https://a0.example.com/other",
+              "https://b1.example.com/fresh"):
+        assert "near_dup" not in out[u], (u, out[u])
+    # state carries signatures, never text; compaction folded batch 0
+    st = spark.read.parquet(f"{sig_dir}/sigs")
+    assert set(st.columns) == {"url", "sig", "bks", "batch_id"}
+    with open(sig_dir + "/COMPACTED_THROUGH") as f:
+        assert f.read().strip() == "0"
+    assert os.listdir(sig_dir + "/sigs_compacted") == ["through=0"]
+
+
+def test_stream_curate_sig_state_requires_near_dedup(spark, tmpdirs):
+    in_dir, out_dir, ckpt, state = tmpdirs
+    with pytest.raises(ValueError, match="near_dedup"):
+        SJ.stream_curate(spark, in_dir, out_dir, ckpt, CurateConfig(),
+                         sig_state_dir=state + "/s")
+
+
+def test_curate_sig_history_requires_near_dedup(spark):
+    from scripts_spark.plans.pipeline import curate as _curate
+
+    hist = spark.createDataFrame(
+        [], "url string, sig array<bigint>, bks array<bigint>")
+    with pytest.raises(ValueError, match="near_dedup"):
+        _curate(spark.createDataFrame([], PAGES_SCHEMA), CurateConfig(),
+                sig_history=hist)
