@@ -347,7 +347,19 @@ def _sig_state(spark: SparkSession, state_dir: str, batch_id: int,
     this one — the span state's exclusive-read/compaction/GC
     discipline verbatim (see _span_state for why the history must
     exclude the current batch on replay), applied to signature rows
-    instead of span keys."""
+    instead of span keys.
+
+    Scale note: the candidate join scans the whole store per trigger
+    (fine while the store is snapshot + ≤K tail partitions of compact
+    rows, and AQE broadcasts the small batch side), but at 10^12
+    accumulated documents the per-trigger scan is the bottleneck. The
+    production evolution is inside this same read path: write the
+    compacted snapshot PARTITIONED BY a band_key prefix (posexplode
+    bks before the write, bucket by pmod(band_key, N)), and push the
+    current batch's band-key set down as a partition filter — the
+    join then touches only the buckets the batch can match, turning
+    O(store) per trigger into O(batch x occupancy). The marker/GC
+    machinery is unchanged by that layout."""
     return _history_state(
         spark, state_dir, batch_id, compact_every,
         sub="sigs",
