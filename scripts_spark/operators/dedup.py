@@ -255,21 +255,26 @@ def signature_with_bands(sig: DataFrame, key: str, num_hashes: int = 16,
 def lsh_candidate_pairs(sig: DataFrame, key: str, num_hashes: int = 16,
                         bands: int = 8) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash):
-    candidate pairs that agree on ≥1 band. Returns (key_a, key_b)."""
-    rows_per_band = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sig.select(
-                F.col(key),
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_key"),
-            )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    candidate pairs that agree on ≥1 band. Returns (key_a, key_b).
+
+    Banding goes through signature_with_bands — the SAME band-key
+    construction a cross-batch signature store uses — so in-batch
+    candidate generation and stored-state matching can never diverge
+    on band layout (one implementation, not two copies of the
+    rpb-slice + xxhash64 formula)."""
+    return band_candidate_pairs(
+        signature_with_bands(sig, key, num_hashes, bands), key
+    )
+
+
+def band_candidate_pairs(rows: DataFrame, key: str) -> DataFrame:
+    """(key_a, key_b) candidates from (key, sig, bks) banded rows (the
+    signature_with_bands / signature-store shape): posexplode the band
+    keys and equi-self-join on (band, band_key). key_a < key_b, one
+    row per pair regardless of how many bands collide."""
+    banded = rows.select(
+        F.col(key), F.posexplode("bks").alias("band", "band_key")
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(

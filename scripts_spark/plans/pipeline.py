@@ -306,6 +306,21 @@ def boiler_sets_from_counts(line_docs: DataFrame, dom_docs: DataFrame,
     return boiler.groupBy("domain").agg(F.collect_set("para").alias("boiler_set"))
 
 
+def boiler_kept_col() -> Column:
+    """THE boiler-strip expression: the kept paragraphs of a frame
+    carrying ``paras`` plus a (possibly-null, from a left join against
+    the (domain, boiler_set) table) ``boiler_set`` column. Every
+    consumer — curate()'s strip, the streaming span-evidence write,
+    and the near-dup signature evidence — must filter through this one
+    expression: the stored evidence and the text the pipeline actually
+    keeps have to agree on what "post-boiler" means, and three
+    hand-synchronized copies of the coalesce+array_contains filter
+    were one normalization tweak away from silently desynchronizing
+    cross-batch state from the output."""
+    bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))
+    return F.filter(F.col("paras"), lambda p: ~F.array_contains(bset, p))
+
+
 def boiler_line_evidence(docs: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, DataFrame]:
     """EXACT per-input (domain, para, line_docs) + (domain, domain_docs)
     counts — the incremental evidence unit for cross-batch boilerplate
@@ -402,7 +417,8 @@ def _corpus_para_dedup(
 
 
 def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
-                     sig_history: DataFrame | None = None) -> DataFrame:
+                     sig_history: DataFrame | None = None,
+                     cur_sig_rows: DataFrame | None = None) -> DataFrame:
     """(url, near_dup_of) for every document that LOSES near-dedup —
     i.e. is a verified near-duplicate whose cluster survivor is some
     other (smaller-url) document. Input is the post-boiler frame with
@@ -419,6 +435,25 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
     text to shingle-verify against, which is exactly why it is
     ~25 longs/doc instead of the corpus). Within-batch pairs keep the
     exact shingle verify; the estimate applies only across batches.
+    A SAME-url history match counts: under the first-occurrence rule
+    an unchanged recrawl of url U is stale corpus content exactly like
+    the same body at url V, and cross-batch url-dedup is an
+    independent opt-in that may be off — such a doc comes back with
+    near_dup_of == its own url. Replay safety needs no self-exclusion
+    because history is read strictly exclusive of the current batch
+    (streaming/jobs._sig_state).
+
+    ``cur_sig_rows`` is the batch's own (url, sig, bks) evidence frame
+    (near_dup_sig_evidence — i.e. signatures of the post-boiler,
+    PRE-paragraph-dedup text). When given, the history comparison uses
+    it directly, guaranteeing query-side and stored signatures are
+    built from the SAME text form — without it, a repost whose
+    duplicated paragraphs were already stripped by _corpus_para_dedup
+    would be signed on the edited remainder only and systematically
+    underestimate similarity vs the stored full-text signature. When
+    para-dedup is OFF the frame is byte-identical to what this
+    function would sign anyway, so in-batch candidates reuse it too
+    (one signing per micro-batch, not two).
 
     Scale shape: signatures are one explode + partial-agg'd groupBy
     (16 longs/doc through the exchange), candidates an equi self-join
@@ -434,12 +469,24 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
     txt = d.select(
         "url", F.array_join("kept_paras", "\n").alias("_nd_text")
     ).filter(F.length("_nd_text") > 0)
-    sig = D.minhash_signatures(
-        txt, "url", "_nd_text", cfg.near_dedup_hashes, cfg.near_dedup_shingle_k
-    )
-    cand = D.lsh_candidate_pairs(
-        sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
-    )
+    if cur_sig_rows is not None and not cfg.para_dedup:
+        # kept_paras here IS the evidence text form — reuse the rows
+        # for in-batch candidates instead of re-signing the batch
+        cur = cur_sig_rows
+        cand = D.band_candidate_pairs(cur, "url")
+    else:
+        sig = D.minhash_signatures(
+            txt, "url", "_nd_text",
+            cfg.near_dedup_hashes, cfg.near_dedup_shingle_k,
+        )
+        cand = D.lsh_candidate_pairs(
+            sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
+        )
+        cur = cur_sig_rows if cur_sig_rows is not None else (
+            D.signature_with_bands(
+                sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
+            )
+        )
     ver = D.jaccard_verify(
         txt, cand, "url", "_nd_text", cfg.near_dedup_shingle_k, threshold=0.0
     )
@@ -468,20 +515,18 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
         )
     if sig_history is None:
         return batch_losers
-    cur = D.signature_with_bands(
-        sig, "url", cfg.near_dedup_hashes, cfg.near_dedup_bands
-    )
     cb = cur.select("url", "sig", F.posexplode("bks").alias("band", "band_key"))
     hb = sig_history.select(
         F.col("url").alias("h_url"),
         F.col("sig").alias("h_sig"),
         F.posexplode("bks").alias("band", "band_key"),
     )
-    # url != h_url: a recrawl of the SAME url is the url-dedup stage's
-    # business (watermarked upstream), not a near-duplicate of itself
+    # no self-url exclusion: history is strictly prior batches, so a
+    # same-url hit is a RECRAWL of already-corpus content — stale under
+    # the first-occurrence rule whether or not the independent
+    # cross-batch url-dedup opt-in is on (see docstring)
     cand = (
         cb.join(hb, ["band", "band_key"])
-        .filter(F.col("url") != F.col("h_url"))
         .select("url", "sig", "h_url", "h_sig")
         .distinct()
     )
@@ -520,16 +565,27 @@ def near_dup_sig_evidence(docs: DataFrame, boiler: DataFrame,
     _write_span_evidence). Detection text is the post-boiler kept
     paragraphs (pre span-dedup when cfg.para_dedup is also on —
     evidence is built the same way for every batch, so the estimate
-    is self-consistent across the stream)."""
+    is self-consistent across the stream). Strip and signing go
+    through boiler_kept_col / _sig_rows_from_kept — the exact
+    expressions curate() itself strips and signs with — so stored
+    evidence can never drift from what the pipeline keeps."""
+    d = docs.join(F.broadcast(boiler), "domain", "left").withColumn(
+        "kept_paras", boiler_kept_col()
+    )
+    return _sig_rows_from_kept(d, cfg)
+
+
+def _sig_rows_from_kept(d: DataFrame, cfg: CurateConfig) -> DataFrame:
+    """(url, sig, bks) MinHash rows of a post-boiler frame's
+    ``kept_paras`` — the ONE signing path; both the signature-store
+    write (near_dup_sig_evidence) and curate()'s history-query side go
+    through it, so the two sides of the cross-batch comparison are
+    guaranteed to sign the same text form with the same parameters."""
     from scripts_spark.operators import dedup as D
 
-    bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))
-    kept = F.filter(F.col("paras"), lambda p: ~F.array_contains(bset, p))
-    txt = (
-        docs.join(F.broadcast(boiler), "domain", "left")
-        .select("url", F.array_join(kept, "\n").alias("_nd_text"))
-        .filter(F.length("_nd_text") > 0)
-    )
+    txt = d.select(
+        "url", F.array_join("kept_paras", "\n").alias("_nd_text")
+    ).filter(F.length("_nd_text") > 0)
     sig = D.minhash_signatures(
         txt, "url", "_nd_text", cfg.near_dedup_hashes, cfg.near_dedup_shingle_k
     )
@@ -617,7 +673,8 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
            boiler_override: DataFrame | None = None,
            docs: DataFrame | None = None,
            span_history: DataFrame | None = None,
-           sig_history: DataFrame | None = None) -> DataFrame:
+           sig_history: DataFrame | None = None,
+           sig_current: DataFrame | None = None) -> DataFrame:
     """Full pipeline → decision frame (SURVEY.md §7.0 output schema +
     bucket column for manifests/metrics).
 
@@ -631,12 +688,17 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     stage (see _corpus_para_dedup) — requires ``cfg.para_dedup``.
     ``sig_history``: earlier-batch (url, sig, bks) MinHash rows for
     the near-dedup stage (see near_dup_sig_evidence) — requires
-    ``cfg.near_dedup``."""
+    ``cfg.near_dedup``. ``sig_current``: THIS batch's already-computed
+    evidence rows (streaming computes them once for the state write —
+    passing them here avoids signing the batch twice); derived
+    internally when omitted."""
     cfg = cfg or CurateConfig()
     if span_history is not None and not cfg.para_dedup:
         raise ValueError("span_history requires CurateConfig.para_dedup=True")
     if sig_history is not None and not cfg.near_dedup:
         raise ValueError("sig_history requires CurateConfig.near_dedup=True")
+    if sig_current is not None and not cfg.near_dedup:
+        raise ValueError("sig_current requires CurateConfig.near_dedup=True")
     if docs is None:
         docs = deduped_docs(pages, cfg)
         # three consumers read this frame (boilerplate line counts,
@@ -649,14 +711,23 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     boiler = boilerplate_sets(docs, cfg) if boiler_override is None else boiler_override
 
     d = docs.join(F.broadcast(boiler), "domain", "left")
-    bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))
-    kept = F.filter(F.col("paras"), lambda p: ~F.array_contains(bset, p))
+    kept = boiler_kept_col()
     d = (
         d.withColumn("paras_total", F.size("paras"))
         .withColumn("kept_paras", kept)
         .withColumn("paras_boiler", F.col("paras_total") - F.size("kept_paras"))
         .drop("boiler_set", "paras")
     )
+    if cfg.near_dedup and sig_history is not None and sig_current is None \
+            and cfg.para_dedup:
+        # the signature STORE holds pre-paragraph-dedup signatures
+        # (near_dup_sig_evidence); the query side must sign the SAME
+        # text form, so capture it here — after para-dedup rewrites
+        # kept_paras, a repost's duplicated paragraphs would be
+        # stripped before signing and Jaccard vs the stored full-text
+        # signature would systematically underestimate, defeating
+        # exactly the cross-batch repost case the store exists for
+        sig_current = _sig_rows_from_kept(d, cfg)
     if cfg.para_dedup:
         d = _corpus_para_dedup(d, cfg, span_history=span_history)
     if cfg.near_dedup:
@@ -666,7 +737,8 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         if cfg.persist_intermediate:
             d = d.persist()
             _CURATE_PERSISTED.append(d)
-        losers = _near_dup_losers(d, cfg, sig_history=sig_history)
+        losers = _near_dup_losers(d, cfg, sig_history=sig_history,
+                                  cur_sig_rows=sig_current)
         d = d.join(
             losers.select("url").withColumn("_nd_loser", F.lit(True)),
             "url",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from scripts_spark.plans.pipeline import (
     CurateConfig,
+    boiler_kept_col,
     boiler_line_evidence,
     boiler_sets_from_counts,
     boilerplate_sets,
@@ -99,7 +100,11 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     edited repost landing in a later crawl drop is caught against the
     whole crawl history. Cross-batch similarity is estimated from the
     signatures (matching components ≥ num/den of the hashes);
-    within-batch pairs keep the exact shingle verify."""
+    within-batch pairs keep the exact shingle verify. Same-url history
+    matches count (an unchanged recrawl is stale corpus content — it
+    is NOT assumed that ``dedup_urls_across_batches`` is also on), and
+    a SIG_PARAMS marker in the state dir fails fast if a later run
+    changes the MinHash parameterization (see _check_sig_params)."""
     cfg = cfg or CurateConfig()
     if span_state_dir is not None and not cfg.para_dedup:
         raise ValueError("span_state_dir requires CurateConfig.para_dedup=True")
@@ -125,6 +130,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                 f"(both set to {p!r})"
             )
         seen[ap] = name
+    if sig_state_dir is not None:
+        _check_sig_params(sig_state_dir, cfg)
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
     if dedup_urls_across_batches:
         stream = stream.withWatermark("warc_ts", dedup_watermark)
@@ -160,14 +167,20 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
             span_hist = _span_state(
                 spark, span_state_dir, batch_id, span_compact_every
             )
-        sig_hist = None
+        sig_hist, sig_cur = None, None
         if sig_state_dir is not None:
             sig_hist = _sig_state(
                 spark, sig_state_dir, batch_id, sig_compact_every
             )
+            # sign the batch ONCE: the same (url, sig, bks) rows serve
+            # curate's history comparison (and, with para_dedup off,
+            # its in-batch candidates) AND the post-commit store write
+            # — signing is the dominant near-dedup cost per batch
+            sig_cur = near_dup_sig_evidence(docs, boiler, cfg).persist()
         try:
             dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs,
-                         span_history=span_hist, sig_history=sig_hist)
+                         span_history=span_hist, sig_history=sig_hist,
+                         sig_current=sig_cur)
             # the commit unit is (job_id=batch_id, bucket): a replayed
             # micro-batch resumes its own partial commit, while a NEW
             # batch whose documents hash into buckets an earlier batch
@@ -182,8 +195,10 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                 # _span_state)
                 _write_span_evidence(docs, boiler, batch_id, span_state_dir)
             if sig_state_dir is not None:
-                _write_sig_evidence(docs, boiler, cfg, batch_id, sig_state_dir)
+                _write_sig_evidence(sig_cur, batch_id, sig_state_dir)
         finally:
+            if sig_cur is not None:
+                sig_cur.unpersist()
             if docs is not None:
                 docs.unpersist()
             # release exactly the frames curate() cached internally
@@ -244,6 +259,42 @@ def _compacted_through(state_dir: str) -> int:
             "state dir needs manual inspection — the marker gates GC of "
             "folded evidence, so it cannot be guessed"
         ) from None
+
+
+def _check_sig_params(state_dir: str, cfg: CurateConfig) -> None:
+    """Fail fast when a sig store is reused under different MinHash
+    parameters. The stored rows ('url string, sig array<bigint>, bks
+    array<bigint>') are shape-identical for ANY (num_hashes, bands,
+    shingle_k), so unlike the boiler state's schema check nothing
+    structural detects drift — band keys hashed over different slice
+    widths just never match, zip_with null-pads sig vs h_sig, and
+    cross-batch near-dedup silently stops catching reposts. A durable
+    SIG_PARAMS marker written on first use pins the parameterization
+    the way COMPACTED_THROUGH pins the checkpoint lineage."""
+    want = (
+        f"hashes={cfg.near_dedup_hashes} bands={cfg.near_dedup_bands} "
+        f"shingle_k={cfg.near_dedup_shingle_k}"
+    )
+    p = f"{state_dir}/SIG_PARAMS"
+    if os.path.exists(p):
+        with open(p) as f:
+            have = f.read().strip()
+        if have != want:
+            raise ValueError(
+                f"sig state dir {state_dir!r} was written with MinHash "
+                f"params [{have}] but this run configures [{want}]: "
+                "stored signatures and band keys are incomparable "
+                "across parameterizations — resume with the original "
+                "CurateConfig or clear the sig state dir"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = f"{p}.tmp"
+    with open(tmp, "w") as f:
+        f.write(want)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
 
 
 def _advance_watermark(state_dir: str, batch_id: int) -> None:
@@ -418,10 +469,8 @@ def _write_span_evidence(docs: DataFrame, boiler: DataFrame, batch_id: int,
     dropped as duplicates are already in history, so the union of
     histories is unchanged and the write needs no dependency on the
     strip itself (it can run after the bucket commit)."""
-    bset = F.coalesce(F.col("boiler_set"), F.array().cast("array<string>"))
-    kept = F.filter(F.col("paras"), lambda p: ~F.array_contains(bset, p))
     para = docs.join(F.broadcast(boiler), "domain", "left").select(
-        F.explode(kept).alias("para")
+        F.explode(boiler_kept_col()).alias("para")
     )
     h1, h2 = span_hash_cols(F.col("para"))
     (
@@ -436,16 +485,16 @@ def _write_span_evidence(docs: DataFrame, boiler: DataFrame, batch_id: int,
     )
 
 
-def _write_sig_evidence(docs: DataFrame, boiler: DataFrame,
-                        cfg: CurateConfig, batch_id: int,
+def _write_sig_evidence(sig_rows: DataFrame, batch_id: int,
                         state_dir: str) -> None:
     """Append this batch's (url, sig, bks) MinHash rows as its own
     ``batch_id=`` partition — same dynamic-overwrite crash-replay
-    idempotence as _write_span_evidence; see
-    plans.pipeline.near_dup_sig_evidence for what the rows are and
-    why losers are included."""
+    idempotence as _write_span_evidence. ``sig_rows`` is the
+    near_dup_sig_evidence frame _process computed (and persisted) once
+    for the whole trigger; see plans.pipeline.near_dup_sig_evidence
+    for what the rows are and why losers are included."""
     (
-        near_dup_sig_evidence(docs, boiler, cfg)
+        sig_rows
         .withColumn("batch_id", F.lit(batch_id))
         .hint("rebalance")
         .write.mode("overwrite")

@@ -725,3 +725,122 @@ def test_curate_sig_history_requires_near_dedup(spark):
     with pytest.raises(ValueError, match="near_dedup"):
         _curate(spark.createDataFrame([], PAGES_SCHEMA), CurateConfig(),
                 sig_history=hist)
+
+
+def test_stream_curate_same_url_recrawl_caught_by_sig_history(spark, tmpdirs):
+    """An UNCHANGED recrawl of the same url in a later drop, with
+    cross-batch url-dedup OFF (it is an independent opt-in): the
+    signature history must still catch it — stale corpus content is
+    stale whether it reappears at the same url or a new one.
+    Regression pin for the removed url != h_url self-exclusion, whose
+    comment wrongly assumed url-dedup was 'watermarked upstream'."""
+    import datetime
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, near_dedup=True,
+                       near_dedup_mode="neighbor")
+    sig_dir = state + "/sigstate"
+    BODY = ("kammaren fortsatte behandlingen av propositionen om "
+            "statsbudgetens ramar för det kommande året\n"
+            "talmannen konstaterade att ärendet var färdigdebatterat "
+            "och att beslut skulle fattas vid voteringen")
+    U = "https://recrawl.example.com/page"
+
+    def drop(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                             sig_state_dir=sig_dir)
+        q.awaitTermination(180)
+
+    drop([(U, datetime.datetime(2021, 1, 1), None, BODY, "sv")])
+    drop([(U, datetime.datetime(2021, 2, 1), None, BODY, "sv")])
+
+    rows = [
+        r["filter_reasons"]
+        for r in catalog.read_output(spark, out_dir).collect()
+        if r["url"] == U
+    ]
+    assert len(rows) == 2
+    assert sorted("near_dup" in rs for rs in rows) == [False, True]
+    # the stream pinned its MinHash parameterization on first use
+    with open(sig_dir + "/SIG_PARAMS") as f:
+        assert f.read().strip() == "hashes=16 bands=8 shingle_k=3"
+
+
+def test_sig_state_params_mismatch_fails_fast(spark, tmpdirs):
+    """Resuming a sig store under a different MinHash parameterization
+    must raise at setup, not silently stop matching: the (url, sig,
+    bks) row shape is identical for any (hashes, bands, shingle_k), so
+    only the SIG_PARAMS marker can detect the drift."""
+    in_dir, out_dir, ckpt, state = tmpdirs
+    sig_dir = state + "/sigstate"
+    cfg = CurateConfig(near_dedup=True)
+    SJ._check_sig_params(sig_dir, cfg)          # first use: pins params
+    SJ._check_sig_params(sig_dir, cfg)          # same params: fine
+    with pytest.raises(ValueError, match=r"MinHash\s+params"):
+        SJ._check_sig_params(
+            sig_dir, CurateConfig(near_dedup=True, near_dedup_hashes=32)
+        )
+    # and stream_curate actually routes through the guard
+    with pytest.raises(ValueError, match=r"MinHash\s+params"):
+        SJ.stream_curate(
+            spark, in_dir, out_dir, ckpt,
+            CurateConfig(near_dedup=True, near_dedup_shingle_k=4),
+            sig_state_dir=sig_dir,
+        )
+
+
+def test_stream_curate_repost_caught_despite_para_dedup(spark, tmpdirs):
+    """para_dedup AND near_dedup both on, both with cross-batch state:
+    drop 2 reposts a drop-1 page (same paragraphs + one new line) at a
+    new url. The span history strips the repeated paragraphs BEFORE
+    the near-dedup stage rewrites kept_paras — so the history-query
+    signature must be built from the PRE-paragraph-dedup text (the
+    same form the store signs), or Jaccard vs the stored full-text
+    signature collapses to the edited remainder and the repost
+    escapes. Regression pin for the sig_current capture in curate()."""
+    import datetime
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, para_dedup=True, near_dedup=True,
+                       near_dedup_mode="neighbor")
+    span_dir, sig_dir = state + "/spanstate", state + "/sigstate"
+    # large shared body + tiny edit: true Jaccard ~0.96, so the
+    # 16-component estimate (14/16 on these fixed seeds) clears the
+    # >= 13 threshold — while the post-para-dedup remainder alone
+    # ("kort avslutande kommentar") matches ~0 components, which is
+    # exactly the counterfactual this test discriminates against
+    PARAS = [
+        "utskottet redovisade sitt omfattande betänkande om den nya "
+        "lagstiftningen på arbetsmarknadens område och dess långsiktiga verkan",
+        "flera ledamöter från olika partier deltog i den långa "
+        "debatten om förslagets ekonomiska konsekvenser för kommunerna",
+        "regeringen framhöll att reformen skulle genomföras stegvis "
+        "under de kommande tre budgetåren med särskilda övergångsregler",
+        "oppositionen invände att finansieringen var otillräcklig och "
+        "begärde en fördjupad konsekvensanalys före ikraftträdandet",
+        "talmannen ajournerade förhandlingarna till påföljande vecka då "
+        "ärendet skulle tas upp till slutligt avgörande i kammaren",
+        "betänkandet innehöll även en reservation från två ledamöter som "
+        "förordade en alternativ modell för tillsynens organisering",
+    ]
+
+    def drop(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                             span_state_dir=span_dir,
+                             sig_state_dir=sig_dir)
+        q.awaitTermination(180)
+
+    drop([("https://orig.example.com/a", datetime.datetime(2021, 3, 1),
+           None, "\n".join(PARAS), "sv")])
+    drop([("https://repost.example.com/b", datetime.datetime(2021, 3, 8),
+           None, "\n".join(PARAS + ["kort avslutande kommentar"]), "sv")])
+
+    out = {r["url"]: r["filter_reasons"]
+           for r in catalog.read_output(spark, out_dir).collect()}
+    assert "near_dup" not in out["https://orig.example.com/a"]
+    assert "near_dup" in out["https://repost.example.com/b"], \
+        out["https://repost.example.com/b"]
