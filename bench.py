@@ -342,6 +342,9 @@ def main() -> None:
     if os.environ.get("BENCH_STREAM_STATE", "1") != "0":
         _settle()
         out["stream_state"] = _stream_state_block(spark)
+    if os.environ.get("BENCH_SIG_STORE", "1") != "0":
+        _settle()
+        out["sig_store"] = _sig_store_block(spark)
     scaling = _scaling_block()
     if scaling is not None:
         out["scaling"] = scaling
@@ -466,6 +469,127 @@ def _stream_state_block(spark) -> dict:
             }
         finally:
             shutil.rmtree(state_dir, ignore_errors=True)
+    return res
+
+
+def _sig_store_block(spark) -> dict:
+    """Band-key-partitioned signature store (streaming/jobs.
+    _sig_state_banded) vs the compact layout, as a measured number:
+    seed one large (url, sig, bks) crawl-history store in BOTH
+    layouts, then time the cross-batch near-dup history lookup
+    (_near_dup_losers with cur_sig_rows — exactly the per-trigger
+    streaming query path) for a TRICKLE batch. The compact arm scans
+    and explodes the whole store every trigger; the banded arm reads
+    only the snapshot buckets the batch's own band keys hash into —
+    the O(store) → O(batch × occupancy) claim as wall seconds and
+    buckets-touched, not a docstring. Store rows are synthetic
+    (xxhash64-derived sigs, shape-identical to real evidence): this
+    probes the READ path, where content doesn't matter — with random
+    64-bit keys the candidate join matches ~nothing on either arm, so
+    the measured difference is purely the history scan."""
+    import shutil
+    import tempfile
+
+    from scripts_spark.plans.pipeline import _near_dup_losers
+    from scripts_spark.streaming import jobs as SJ
+
+    sizes = [
+        int(s)
+        for s in os.environ.get(
+            "BENCH_SIG_STORE_DOCS", "200000,800000"
+        ).split(",")
+    ]
+    n_batch = int(os.environ.get("BENCH_SIG_BATCH_DOCS", "20"))
+    buckets = int(os.environ.get("BENCH_SIG_STORE_BUCKETS", "1024"))
+    cfg = CurateConfig(near_dedup=True, near_dedup_mode="neighbor")
+
+    def synth(n, prefix):
+        base = spark.range(n).select(
+            F.concat(F.lit(prefix), F.col("id")).alias("url")
+        )
+        sig = F.array(*[F.xxhash64("url", F.lit(i)) for i in range(16)])
+        bks = F.array(*[F.xxhash64("url", F.lit(100 + b)) for b in range(8)])
+        return base.select("url", sig.alias("sig"), bks.alias("bks"))
+
+    cur = synth(n_batch, "https://batch.example/").persist()
+    d = cur.select(
+        "url", F.array(F.lit("kort text i proben")).alias("kept_paras")
+    )
+    bb = [
+        r["b"]
+        for r in cur.select(
+            F.explode(
+                F.transform(
+                    "bks",
+                    lambda k: F.pmod(k, F.lit(buckets)).cast("int"),
+                )
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    res: dict = {
+        "batch_docs": n_batch, "store_buckets": buckets,
+        "batch_buckets_touched": len(bb),
+    }
+
+    def arm(hist):
+        t0 = time.perf_counter()
+        _near_dup_losers(
+            d, cfg, sig_history=hist, cur_sig_rows=cur
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # measured at MULTIPLE store sizes: the claim is the TREND —
+    # compact per-trigger cost grows with store size (it rescans the
+    # whole history every trigger) while the banded read tracks the
+    # batch's bucket set. A single-size ratio could be argued away as
+    # fixed-cost noise; the trend can't.
+    try:
+        for n_store in sizes:
+            store = synth(n_store, "https://hist.example/")
+            cdir = tempfile.mkdtemp(prefix="bench_sigc_")
+            bdir = tempfile.mkdtemp(prefix="bench_sigb_")
+            try:
+                store.write.parquet(f"{cdir}/sigs_compacted/through=0")
+                SJ._advance_watermark(cdir, 0)
+                bucket = F.pmod(
+                    F.col("band_key"), F.lit(buckets)
+                ).cast("int")
+                (
+                    store.select(
+                        "url", "sig",
+                        F.posexplode("bks").alias("band", "band_key"),
+                    )
+                    .withColumn("bucket", bucket)
+                    .repartition("bucket")
+                    .write.partitionBy("bucket")
+                    .parquet(f"{bdir}/sigs_banded/through=0")
+                )
+                SJ._advance_watermark(bdir, 0)
+                # arms interleaved C,B,C,B and min-of-2 (house rule:
+                # never let one arm of a paired comparison own a
+                # whole time block)
+                tsc, tsb = [], []
+                for _ in range(2):
+                    tsc.append(arm(SJ._sig_state(spark, cdir, 5, None)))
+                    tsb.append(
+                        arm(
+                            SJ._sig_state_banded(
+                                spark, bdir, 5, None, bb, buckets
+                            )
+                        )
+                    )
+                res[f"store_{n_store // 1000}k"] = {
+                    "compact_sec": round(min(tsc), 3),
+                    "banded_sec": round(min(tsb), 3),
+                    "speedup": round(min(tsc) / max(min(tsb), 1e-9), 2),
+                }
+            finally:
+                shutil.rmtree(cdir, ignore_errors=True)
+                shutil.rmtree(bdir, ignore_errors=True)
+    finally:
+        cur.unpersist()
     return res
 
 

@@ -171,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--sig-compact-every", type=int, default=16,
                     help="fold signature state into a snapshot every K "
                          "batches")
+    st.add_argument("--sig-store-buckets", type=int, default=None,
+                    help="band-key-partition the signature snapshots "
+                         "into N buckets and prune reads to the "
+                         "current batch's buckets (the at-scale "
+                         "layout; requires --sig-state)")
     st.add_argument("--max-files-per-trigger", type=int, default=None)
 
     a = p.parse_args(argv)
@@ -217,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
             span_compact_every=a.span_compact_every,
             sig_state_dir=a.sig_state,
             sig_compact_every=a.sig_compact_every,
+            sig_store_buckets=a.sig_store_buckets,
         )
         q.awaitTermination()
         # a valid run over an empty input commits zero batches and never

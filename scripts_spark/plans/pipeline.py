@@ -433,7 +433,10 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
     store, similarity estimated from the signatures alone (matching
     MinHash components · den ≥ num · num_hashes — the store carries no
     text to shingle-verify against, which is exactly why it is
-    ~25 longs/doc instead of the corpus). Within-batch pairs keep the
+    ~25 longs/doc instead of the corpus). History may arrive compact
+    ((url, sig, bks) — exploded here) or pre-exploded ((url, sig,
+    band, band_key) — the band-key-partitioned store read, already
+    bucket-pruned). Within-batch pairs keep the
     exact shingle verify; the estimate applies only across batches.
     A SAME-url history match counts: under the first-occurrence rule
     an unchanged recrawl of url U is stale corpus content exactly like
@@ -516,11 +519,22 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
     if sig_history is None:
         return batch_losers
     cb = cur.select("url", "sig", F.posexplode("bks").alias("band", "band_key"))
-    hb = sig_history.select(
-        F.col("url").alias("h_url"),
-        F.col("sig").alias("h_sig"),
-        F.posexplode("bks").alias("band", "band_key"),
-    )
+    if "bks" in sig_history.columns:
+        hb = sig_history.select(
+            F.col("url").alias("h_url"),
+            F.col("sig").alias("h_sig"),
+            F.posexplode("bks").alias("band", "band_key"),
+        )
+    else:
+        # pre-exploded history — the band-key-partitioned store read
+        # (streaming/jobs._sig_state_banded) hands rows back as
+        # (url, sig, band, band_key), already pruned to the buckets
+        # this batch can match
+        hb = sig_history.select(
+            F.col("url").alias("h_url"),
+            F.col("sig").alias("h_sig"),
+            "band", "band_key",
+        )
     # no self-url exclusion: history is strictly prior batches, so a
     # same-url hit is a RECRAWL of already-corpus content — stale under
     # the first-occurrence rule whether or not the independent

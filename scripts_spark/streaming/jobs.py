@@ -59,7 +59,8 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                   span_state_dir: str | None = None,
                   span_compact_every: int | None = 16,
                   sig_state_dir: str | None = None,
-                  sig_compact_every: int | None = 16):
+                  sig_compact_every: int | None = 16,
+                  sig_store_buckets: int | None = None):
     """File-source stream → batch curate per micro-batch → manifest
     commit. Returns the started StreamingQuery.
 
@@ -104,12 +105,23 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     matches count (an unchanged recrawl is stale corpus content — it
     is NOT assumed that ``dedup_urls_across_batches`` is also on), and
     a SIG_PARAMS marker in the state dir fails fast if a later run
-    changes the MinHash parameterization (see _check_sig_params)."""
+    changes the MinHash parameterization (see _check_sig_params).
+
+    ``sig_store_buckets`` (requires ``sig_state_dir``) switches the
+    signature store's compacted snapshots to the band-key-PARTITIONED
+    layout (_sig_state_banded): snapshots are stored partitioned by
+    pmod(band_key, N) and each trigger reads only the buckets its own
+    band keys can match — O(batch × occupancy) instead of O(store)
+    per trigger, the layout you'd run against a 10^12-document crawl
+    history. The marker pins the layout too, so a store cannot be
+    silently reopened under the other one."""
     cfg = cfg or CurateConfig()
     if span_state_dir is not None and not cfg.para_dedup:
         raise ValueError("span_state_dir requires CurateConfig.para_dedup=True")
     if sig_state_dir is not None and not cfg.near_dedup:
         raise ValueError("sig_state_dir requires CurateConfig.near_dedup=True")
+    if sig_store_buckets is not None and sig_state_dir is None:
+        raise ValueError("sig_store_buckets requires sig_state_dir")
     named = [
         ("boiler_state_dir", boiler_state_dir),
         ("span_state_dir", span_state_dir),
@@ -131,7 +143,7 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
             )
         seen[ap] = name
     if sig_state_dir is not None:
-        _check_sig_params(sig_state_dir, cfg)
+        _check_sig_params(sig_state_dir, cfg, sig_store_buckets)
     stream = read_pages_stream(spark, input_dir, max_files_per_trigger)
     if dedup_urls_across_batches:
         stream = stream.withWatermark("warc_ts", dedup_watermark)
@@ -169,14 +181,38 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
             )
         sig_hist, sig_cur = None, None
         if sig_state_dir is not None:
-            sig_hist = _sig_state(
-                spark, sig_state_dir, batch_id, sig_compact_every
-            )
             # sign the batch ONCE: the same (url, sig, bks) rows serve
             # curate's history comparison (and, with para_dedup off,
             # its in-batch candidates) AND the post-commit store write
             # — signing is the dominant near-dedup cost per batch
             sig_cur = near_dup_sig_evidence(docs, boiler, cfg).persist()
+            if sig_store_buckets:
+                # the batch's own bucket set drives snapshot partition
+                # pruning; driver-side collect is bounded by
+                # sig_store_buckets distinct ints, never by batch size
+                bb = [
+                    r["b"]
+                    for r in sig_cur.select(
+                        F.explode(
+                            F.transform(
+                                "bks",
+                                lambda k: F.pmod(
+                                    k, F.lit(sig_store_buckets)
+                                ).cast("int"),
+                            )
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                sig_hist = _sig_state_banded(
+                    spark, sig_state_dir, batch_id, sig_compact_every,
+                    bb, sig_store_buckets,
+                )
+            else:
+                sig_hist = _sig_state(
+                    spark, sig_state_dir, batch_id, sig_compact_every
+                )
         try:
             dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs,
                          span_history=span_hist, sig_history=sig_hist,
@@ -261,7 +297,8 @@ def _compacted_through(state_dir: str) -> int:
         ) from None
 
 
-def _check_sig_params(state_dir: str, cfg: CurateConfig) -> None:
+def _check_sig_params(state_dir: str, cfg: CurateConfig,
+                      store_buckets: int | None = None) -> None:
     """Fail fast when a sig store is reused under different MinHash
     parameters. The stored rows ('url string, sig array<bigint>, bks
     array<bigint>') are shape-identical for ANY (num_hashes, bands,
@@ -270,11 +307,17 @@ def _check_sig_params(state_dir: str, cfg: CurateConfig) -> None:
     widths just never match, zip_with null-pads sig vs h_sig, and
     cross-batch near-dedup silently stops catching reposts. A durable
     SIG_PARAMS marker written on first use pins the parameterization
-    the way COMPACTED_THROUGH pins the checkpoint lineage."""
+    the way COMPACTED_THROUGH pins the checkpoint lineage. The banded
+    store layout (and its bucket count) is pinned the same way: a
+    compact store reopened with sig_store_buckets set (or vice versa,
+    or with a different bucket count) would look for snapshots in the
+    wrong layout entirely."""
     want = (
         f"hashes={cfg.near_dedup_hashes} bands={cfg.near_dedup_bands} "
         f"shingle_k={cfg.near_dedup_shingle_k}"
     )
+    if store_buckets is not None:
+        want += f" store_buckets={store_buckets}"
     p = f"{state_dir}/SIG_PARAMS"
     if os.path.exists(p):
         with open(p) as f:
@@ -318,12 +361,15 @@ def _advance_watermark(state_dir: str, batch_id: int) -> None:
         os.close(dfd)
 
 
-def _gc_folded(state_dir: str, sub: str, through: int) -> None:
+def _gc_folded(state_dir: str, sub: str, through: int,
+               snap_sub: str | None = None) -> None:
     """Best-effort removal of evidence partitions already folded into
     the snapshot at ``through`` and of superseded snapshots. Failing
     here is harmless — the read path filters them out by the marker —
     so errors are swallowed (at crawl scale these are object-store
-    deletes behind the manifest catalog, same semantics)."""
+    deletes behind the manifest catalog, same semantics).
+    ``snap_sub`` overrides the snapshot directory name (the banded sig
+    layout keeps its snapshots under ``sigs_banded``)."""
     import os
     import shutil
 
@@ -332,7 +378,7 @@ def _gc_folded(state_dir: str, sub: str, through: int) -> None:
         for d in os.listdir(base):
             if d.startswith("batch_id=") and int(d.split("=")[1]) <= through:
                 shutil.rmtree(f"{base}/{d}", ignore_errors=True)
-    cbase = f"{state_dir}/{sub}_compacted"
+    cbase = f"{state_dir}/{snap_sub or sub + '_compacted'}"
     if os.path.isdir(cbase):
         for d in os.listdir(cbase):
             if d.startswith("through=") and int(d.split("=")[1]) < through:
@@ -404,19 +450,94 @@ def _sig_state(spark: SparkSession, state_dir: str, batch_id: int,
     (fine while the store is snapshot + ≤K tail partitions of compact
     rows, and AQE broadcasts the small batch side), but at 10^12
     accumulated documents the per-trigger scan is the bottleneck. The
-    production evolution is inside this same read path: write the
-    compacted snapshot PARTITIONED BY a band_key prefix (posexplode
-    bks before the write, bucket by pmod(band_key, N)), and push the
-    current batch's band-key set down as a partition filter — the
-    join then touches only the buckets the batch can match, turning
-    O(store) per trigger into O(batch x occupancy). The marker/GC
-    machinery is unchanged by that layout."""
+    production evolution is _sig_state_banded (opt in via
+    stream_curate's sig_store_buckets): snapshots partitioned by
+    pmod(band_key, N) with the batch's band-key set pushed down as a
+    partition filter — O(batch x occupancy) per trigger instead of
+    O(store), same marker/GC machinery."""
     return _history_state(
         spark, state_dir, batch_id, compact_every,
         sub="sigs",
         schema="url string, sig array<bigint>, bks array<bigint>",
         cols=["url", "sig", "bks"],
     )
+
+
+def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
+                      compact_every: int | None, batch_buckets: list[int],
+                      store_buckets: int) -> DataFrame:
+    """The band-key-PARTITIONED evolution of _sig_state — the
+    production layout the compact form's scale note describes. History
+    rows come back pre-exploded as (url, sig, band, band_key), and the
+    compacted snapshot is stored partitioned by
+    ``bucket = pmod(band_key, store_buckets)`` so the per-trigger read
+    prunes to the buckets the current batch can actually match
+    (``batch_buckets``, derived from the batch's own band keys): at a
+    10^12-document store a trickle batch touches O(batch × occupancy)
+    partitions instead of scanning the whole store. Cost: the snapshot
+    duplicates a doc's signature once per band (~8×, still ≈200
+    longs/doc) — disk bought back as pruned reads, the standard
+    index-table trade.
+
+    Per-batch TAIL partitions stay in the compact (url, sig, bks)
+    shape the evidence writer emits — they are ≤ compact_every batches
+    and are exploded on the fly, so pruning them would save nothing —
+    while every compaction folds tail + old snapshot into a new banded
+    snapshot. Watermark semantics, exclusive-of-current-batch reads,
+    crash-replay idempotence, and GC are _history_state's verbatim;
+    only the snapshot layout (and the pruned return) differ."""
+    sub = "sigs"
+    through = _compacted_through(state_dir)
+    if batch_id <= through:
+        raise ValueError(
+            f"{sub} state watermark ({through}) is at or ahead of "
+            f"micro-batch id {batch_id}: this state_dir was compacted "
+            "by a different (or further-along) checkpoint. Resume with "
+            f"the original checkpoint_dir, or clear the {sub} state_dir."
+        )
+    exploded_schema = (
+        "url string, sig array<bigint>, band int, band_key long, bucket int"
+    )
+    bucket = F.pmod(F.col("band_key"), F.lit(store_buckets)).cast("int")
+    if _has_batch_partitions(state_dir, sub):
+        tail = (
+            spark.read.parquet(f"{state_dir}/{sub}")
+            .filter(
+                (F.col("batch_id") > through) & (F.col("batch_id") < batch_id)
+            )
+            .select("url", "sig", F.posexplode("bks").alias("band", "band_key"))
+            .withColumn("bucket", bucket)
+        )
+    else:
+        tail = spark.createDataFrame([], exploded_schema)
+    snap = None
+    if through >= 0:
+        snap = spark.read.parquet(f"{state_dir}/{sub}_banded/through={through}")
+    if compact_every and (batch_id - 1) - through >= compact_every:
+        merged = tail if snap is None else tail.unionByName(
+            snap.select("url", "sig", "band", "band_key", "bucket")
+        )
+        (
+            merged.distinct()
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{state_dir}/{sub}_banded/through={batch_id - 1}")
+        )
+        _advance_watermark(state_dir, batch_id - 1)
+        _gc_folded(state_dir, sub, batch_id - 1, snap_sub=f"{sub}_banded")
+        snap = spark.read.parquet(
+            f"{state_dir}/{sub}_banded/through={batch_id - 1}"
+        )
+        tail = spark.createDataFrame([], exploded_schema)
+    out = tail.select("url", "sig", "band", "band_key")
+    if snap is None:
+        return out
+    pruned = snap.filter(
+        F.col("bucket").isin([int(b) for b in batch_buckets])
+        if batch_buckets else F.lit(False)
+    ).select("url", "sig", "band", "band_key")
+    return out.unionByName(pruned)
 
 
 def _history_state(spark: SparkSession, state_dir: str, batch_id: int,

@@ -844,3 +844,150 @@ def test_stream_curate_repost_caught_despite_para_dedup(spark, tmpdirs):
     assert "near_dup" not in out["https://orig.example.com/a"]
     assert "near_dup" in out["https://repost.example.com/b"], \
         out["https://repost.example.com/b"]
+
+
+def test_stream_curate_banded_sig_store(spark, tmpdirs):
+    """The band-key-PARTITIONED signature store (sig_store_buckets):
+    three drops where drops 2 and 3 repost drop-1/drop-2 content at
+    new urls. Same detection semantics as the compact layout, but the
+    compacted snapshots are partitioned by pmod(band_key, N) and each
+    trigger reads only its own buckets — with sig_compact_every=1 the
+    history both reposts are caught against lives in a banded
+    snapshot, exercising the pruned-read path end-to-end."""
+    import datetime
+    import os
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, near_dedup=True,
+                       near_dedup_mode="neighbor")
+    sig_dir = state + "/sigstate"
+    BODY1 = ("utskottet behandlade den omfattande propositionen om "
+             "ändrade regler för arbetslöshetsförsäkringen\n"
+             "flera reservationer lämnades av ledamöter som ansåg att "
+             "beredningen varit alltför forcerad")
+    BODY2 = ("kammaren debatterade länge betänkandet om framtidens "
+             "energipolitik och kärnkraftens roll i systemet\n"
+             "omröstningen slutade med att utskottets förslag bifölls "
+             "med bred majoritet över blockgränserna")
+
+    def drop(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                             sig_state_dir=sig_dir, sig_compact_every=1,
+                             sig_store_buckets=16)
+        q.awaitTermination(180)
+
+    drop([("https://a.example.com/one", datetime.datetime(2022, 1, 1),
+           None, BODY1, "sv")])
+    drop([("https://b.example.com/two", datetime.datetime(2022, 1, 8),
+           None, BODY2, "sv"),
+          ("https://b.example.com/repost1", datetime.datetime(2022, 1, 8),
+           None, BODY1, "sv")])
+    drop([("https://c.example.com/repost2", datetime.datetime(2022, 1, 15),
+           None, BODY2, "sv")])
+
+    out = {r["url"]: r["filter_reasons"]
+           for r in catalog.read_output(spark, out_dir).collect()}
+    assert len(out) == 4
+    assert "near_dup" in out["https://b.example.com/repost1"]
+    assert "near_dup" in out["https://c.example.com/repost2"]
+    assert "near_dup" not in out["https://a.example.com/one"]
+    assert "near_dup" not in out["https://b.example.com/two"]
+    # layout on disk: banded snapshot with bucket= partitions, marker
+    # pinning the bucket count, GC of superseded snapshots
+    snaps = sorted(os.listdir(sig_dir + "/sigs_banded"))
+    assert snaps == ["through=1"]
+    assert any(d.startswith("bucket=")
+               for d in os.listdir(sig_dir + "/sigs_banded/through=1"))
+    with open(sig_dir + "/SIG_PARAMS") as f:
+        assert f.read().strip() == \
+            "hashes=16 bands=8 shingle_k=3 store_buckets=16"
+
+
+def test_banded_sig_state_prunes_partitions(spark, tmp_path):
+    """_sig_state_banded must read only the snapshot buckets the
+    current batch can match: the returned frame's scan carries a
+    partition filter on bucket, and rows from other buckets never
+    come back."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "sig")
+    rows = [
+        ("u%d" % i, [i] * 16, b, 1000 + i, b)
+        for i in range(8)
+        for b in (i % 4,)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, sig array<bigint>, band int, "
+              "band_key long, bucket int",
+    )
+    df.write.partitionBy("bucket").parquet(state + "/sigs_banded/through=0")
+    SJ._advance_watermark(state, 0)
+
+    hist = SJ._sig_state_banded(spark, state, batch_id=5,
+                                compact_every=None,
+                                batch_buckets=[2], store_buckets=4)
+    got = {r["url"] for r in hist.collect()}
+    assert got == {"u2", "u6"}  # bucket 2 only
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    # empty bucket set (batch with no signable text) reads nothing
+    none = SJ._sig_state_banded(spark, state, batch_id=5,
+                                compact_every=None,
+                                batch_buckets=[], store_buckets=4)
+    assert none.count() == 0
+
+
+def test_sig_store_layout_drift_fails_fast(spark, tmp_path):
+    """A compact store reopened as banded (or with a different bucket
+    count) must raise: snapshots live in different layouts and the
+    reader would silently see no history."""
+    state = str(tmp_path / "sig")
+    cfg = CurateConfig(near_dedup=True)
+    SJ._check_sig_params(state, cfg)  # pins compact layout
+    with pytest.raises(ValueError, match="params"):
+        SJ._check_sig_params(state, cfg, store_buckets=16)
+    state2 = str(tmp_path / "sig2")
+    SJ._check_sig_params(state2, cfg, store_buckets=16)
+    SJ._check_sig_params(state2, cfg, store_buckets=16)  # same: fine
+    with pytest.raises(ValueError, match="params"):
+        SJ._check_sig_params(state2, cfg, store_buckets=32)
+    with pytest.raises(ValueError, match="params"):
+        SJ._check_sig_params(state2, cfg)
+    # and the CLI-level guard: buckets without a state dir
+    with pytest.raises(ValueError, match="sig_state_dir"):
+        SJ.stream_curate(spark, "/tmp/x", "/tmp/y", "/tmp/z",
+                         CurateConfig(near_dedup=True),
+                         sig_store_buckets=16)
+
+
+def test_banded_sig_state_replay_excludes_own_batch(spark, tmp_path):
+    """Crash-replay discipline for the banded layout, mirroring
+    _span_state's: a batch that crashed AFTER writing its own evidence
+    must see exactly the history its first attempt saw (its own
+    partition excluded), and a checkpoint rolled back past the
+    compaction watermark fails fast instead of silently shrinking
+    history."""
+    state = str(tmp_path / "sig")
+
+    def rows_b(i):
+        return spark.createDataFrame(
+            [(f"u{i}", [i] * 16, [i * 10 + j for j in range(8)])],
+            "url string, sig array<bigint>, bks array<bigint>",
+        )
+
+    SJ._write_sig_evidence(rows_b(0), 0, state)
+    SJ._write_sig_evidence(rows_b(1), 1, state)
+    # batch 2's read triggers compaction (through=1, tails folded+GC'd)
+    h2 = SJ._sig_state_banded(spark, state, 2, 1, list(range(8)), 8)
+    assert {r["url"] for r in h2.collect()} == {"u0", "u1"}
+    # batch 2 writes its own evidence, then crashes; the replay's
+    # history is unchanged — its own partition is excluded by the
+    # batch_id bound, not by luck of GC timing
+    SJ._write_sig_evidence(rows_b(2), 2, state)
+    h2r = SJ._sig_state_banded(spark, state, 2, 1, list(range(8)), 8)
+    assert {r["url"] for r in h2r.collect()} == {"u0", "u1"}
+    with pytest.raises(ValueError, match="watermark"):
+        SJ._sig_state_banded(spark, state, 1, 1, list(range(8)), 8)
