@@ -122,6 +122,13 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
         raise ValueError("sig_state_dir requires CurateConfig.near_dedup=True")
     if sig_store_buckets is not None and sig_state_dir is None:
         raise ValueError("sig_store_buckets requires sig_state_dir")
+    if sig_store_buckets is not None and sig_store_buckets < 1:
+        # 0 would pin 'store_buckets=0' in the marker while _process's
+        # truthiness check silently ran the compact layout — marker
+        # and on-disk layout disagreeing forever
+        raise ValueError(
+            f"sig_store_buckets must be >= 1, got {sig_store_buckets}"
+        )
     named = [
         ("boiler_state_dir", boiler_state_dir),
         ("span_state_dir", span_state_dir),
@@ -152,7 +159,7 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        boiler, docs, evidence = None, None, None
+        boiler, docs, evidence, sig_cur = None, None, None, None
         any_state = (
             boiler_state_dir is not None
             or span_state_dir is not None
@@ -164,56 +171,64 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
             # (without this the scan + url-dedup + repair chain runs 3x
             # per micro-batch)
             docs = deduped_docs(batch_df, cfg).persist()
-        if boiler_state_dir is not None:
-            boiler, evidence = _merged_boiler(
-                spark, docs, batch_id, boiler_state_dir, cfg,
-                compact_every=boiler_compact_every,
-            )
-        elif any_state:
-            # span/sig evidence and the strip must agree on the boiler
-            # sets: compute the batch-local sets ONCE here and hand
-            # them to curate as the override
-            boiler = boilerplate_sets(docs, cfg)
-        span_hist = None
-        if span_state_dir is not None:
-            span_hist = _span_state(
-                spark, span_state_dir, batch_id, span_compact_every
-            )
-        sig_hist, sig_cur = None, None
-        if sig_state_dir is not None:
-            # sign the batch ONCE: the same (url, sig, bks) rows serve
-            # curate's history comparison (and, with para_dedup off,
-            # its in-batch candidates) AND the post-commit store write
-            # — signing is the dominant near-dedup cost per batch
-            sig_cur = near_dup_sig_evidence(docs, boiler, cfg).persist()
-            if sig_store_buckets:
-                # the batch's own bucket set drives snapshot partition
-                # pruning; driver-side collect is bounded by
-                # sig_store_buckets distinct ints, never by batch size
-                bb = [
-                    r["b"]
-                    for r in sig_cur.select(
-                        F.explode(
-                            F.transform(
-                                "bks",
-                                lambda k: F.pmod(
-                                    k, F.lit(sig_store_buckets)
-                                ).cast("int"),
-                            )
-                        ).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                sig_hist = _sig_state_banded(
-                    spark, sig_state_dir, batch_id, sig_compact_every,
-                    bb, sig_store_buckets,
-                )
-            else:
-                sig_hist = _sig_state(
-                    spark, sig_state_dir, batch_id, sig_compact_every
-                )
+        # everything that can fail AFTER a persist — state reads incl.
+        # their fail-fast watermark guards, the bucket collect, curate,
+        # the commit — runs under the one finally that releases every
+        # frame this trigger pinned; a watermark ValueError must not
+        # leak the materialized docs/signature caches into the shared
+        # session
         try:
+            if boiler_state_dir is not None:
+                boiler, evidence = _merged_boiler(
+                    spark, docs, batch_id, boiler_state_dir, cfg,
+                    compact_every=boiler_compact_every,
+                )
+            elif any_state:
+                # span/sig evidence and the strip must agree on the
+                # boiler sets: compute the batch-local sets ONCE here
+                # and hand them to curate as the override
+                boiler = boilerplate_sets(docs, cfg)
+            span_hist = None
+            if span_state_dir is not None:
+                span_hist = _span_state(
+                    spark, span_state_dir, batch_id, span_compact_every
+                )
+            sig_hist = None
+            if sig_state_dir is not None:
+                # sign the batch ONCE: the same (url, sig, bks) rows
+                # serve curate's history comparison (and, with
+                # para_dedup off, its in-batch candidates) AND the
+                # post-commit store write — signing is the dominant
+                # near-dedup cost per batch
+                sig_cur = near_dup_sig_evidence(docs, boiler, cfg).persist()
+                if sig_store_buckets:
+                    # the batch's own bucket set drives snapshot
+                    # partition pruning; driver-side collect is bounded
+                    # by sig_store_buckets distinct ints, never by
+                    # batch size
+                    bb = [
+                        r["b"]
+                        for r in sig_cur.select(
+                            F.explode(
+                                F.transform(
+                                    "bks",
+                                    lambda k: F.pmod(
+                                        k, F.lit(sig_store_buckets)
+                                    ).cast("int"),
+                                )
+                            ).alias("b")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    sig_hist = _sig_state_banded(
+                        spark, sig_state_dir, batch_id, sig_compact_every,
+                        bb, sig_store_buckets,
+                    )
+                else:
+                    sig_hist = _sig_state(
+                        spark, sig_state_dir, batch_id, sig_compact_every
+                    )
             dec = curate(batch_df, cfg, boiler_override=boiler, docs=docs,
                          span_history=span_hist, sig_history=sig_hist,
                          sig_current=sig_cur)
@@ -410,7 +425,10 @@ def _live_state(spark: SparkSession, state_dir: str, sub: str, through: int,
         tail = spark.createDataFrame([], schema)
     if through < 0:
         return tail
-    snap = spark.read.parquet(
+    # explicit schema: a zero-file snapshot (all-empty history fold)
+    # must read back as an empty frame, not an inference error (see
+    # _history_state)
+    snap = spark.read.schema(schema).parquet(
         f"{state_dir}/{sub}_compacted/through={through}"
     ).select(*cols)
     return tail.unionByName(snap)
@@ -487,14 +505,7 @@ def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
     crash-replay idempotence, and GC are _history_state's verbatim;
     only the snapshot layout (and the pruned return) differ."""
     sub = "sigs"
-    through = _compacted_through(state_dir)
-    if batch_id <= through:
-        raise ValueError(
-            f"{sub} state watermark ({through}) is at or ahead of "
-            f"micro-batch id {batch_id}: this state_dir was compacted "
-            "by a different (or further-along) checkpoint. Resume with "
-            f"the original checkpoint_dir, or clear the {sub} state_dir."
-        )
+    through = _guard_watermark(state_dir, sub, batch_id)
     exploded_schema = (
         "url string, sig array<bigint>, band int, band_key long, bucket int"
     )
@@ -511,9 +522,14 @@ def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
     else:
         tail = spark.createDataFrame([], exploded_schema)
     snap = None
+    # explicit schema on snapshot reads: an all-empty-history
+    # compaction writes a zero-file snapshot, and inference on it
+    # would wedge the store (see _history_state)
     if through >= 0:
-        snap = spark.read.parquet(f"{state_dir}/{sub}_banded/through={through}")
-    if compact_every and (batch_id - 1) - through >= compact_every:
+        snap = spark.read.schema(exploded_schema).parquet(
+            f"{state_dir}/{sub}_banded/through={through}"
+        )
+    if _should_compact(batch_id, through, compact_every):
         merged = tail if snap is None else tail.unionByName(
             snap.select("url", "sig", "band", "band_key", "bucket")
         )
@@ -526,7 +542,7 @@ def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
         )
         _advance_watermark(state_dir, batch_id - 1)
         _gc_folded(state_dir, sub, batch_id - 1, snap_sub=f"{sub}_banded")
-        snap = spark.read.parquet(
+        snap = spark.read.schema(exploded_schema).parquet(
             f"{state_dir}/{sub}_banded/through={batch_id - 1}"
         )
         tail = spark.createDataFrame([], exploded_schema)
@@ -540,9 +556,12 @@ def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
     return out.unionByName(pruned)
 
 
-def _history_state(spark: SparkSession, state_dir: str, batch_id: int,
-                   compact_every: int | None, *, sub: str, schema: str,
-                   cols: list[str]) -> DataFrame:
+def _guard_watermark(state_dir: str, sub: str, batch_id: int) -> int:
+    """Shared watermark guard for every history-state read path
+    (compact and banded): returns the compaction watermark, refusing a
+    batch id at or behind it — GC has already deleted the evidence
+    such a batch would need, so proceeding would silently shrink
+    history."""
     through = _compacted_through(state_dir)
     if batch_id <= through:
         raise ValueError(
@@ -551,6 +570,21 @@ def _history_state(spark: SparkSession, state_dir: str, batch_id: int,
             "by a different (or further-along) checkpoint. Resume with "
             f"the original checkpoint_dir, or clear the {sub} state_dir."
         )
+    return through
+
+
+def _should_compact(batch_id: int, through: int,
+                    compact_every: int | None) -> bool:
+    """Shared compaction trigger: fold once the unfolded tail reaches
+    ``compact_every`` batches (the current batch itself is never
+    folded — the watermark records batch_id - 1)."""
+    return bool(compact_every) and (batch_id - 1) - through >= compact_every
+
+
+def _history_state(spark: SparkSession, state_dir: str, batch_id: int,
+                   compact_every: int | None, *, sub: str, schema: str,
+                   cols: list[str]) -> DataFrame:
+    through = _guard_watermark(state_dir, sub, batch_id)
     if _has_batch_partitions(state_dir, sub):
         tail = (
             spark.read.parquet(f"{state_dir}/{sub}")
@@ -562,19 +596,23 @@ def _history_state(spark: SparkSession, state_dir: str, batch_id: int,
     else:
         tail = spark.createDataFrame([], schema)
     hist = tail
+    # snapshot reads carry the EXPLICIT schema: a compaction of an
+    # all-empty history legitimately writes a zero-file snapshot
+    # (_SUCCESS only), and schema inference on it would throw forever
+    # after the watermark already advanced — wedging the state dir
     if through >= 0:
         hist = tail.unionByName(
-            spark.read.parquet(
+            spark.read.schema(schema).parquet(
                 f"{state_dir}/{sub}_compacted/through={through}"
             ).select(*cols)
         )
-    if compact_every and (batch_id - 1) - through >= compact_every:
+    if _should_compact(batch_id, through, compact_every):
         hist.distinct().hint("rebalance").write.mode("overwrite").parquet(
             f"{state_dir}/{sub}_compacted/through={batch_id - 1}"
         )
         _advance_watermark(state_dir, batch_id - 1)
         _gc_folded(state_dir, sub, batch_id - 1)
-        hist = spark.read.parquet(
+        hist = spark.read.schema(schema).parquet(
             f"{state_dir}/{sub}_compacted/through={batch_id - 1}"
         ).select(*cols)
     return hist
@@ -745,12 +783,14 @@ def _merged_boiler(spark: SparkSession, docs: DataFrame, batch_id: int,
         _gc_folded(state_dir, "lines", batch_id)
         _gc_folded(state_dir, "domains", batch_id)
         through = batch_id
-        merged_lines = spark.read.parquet(
-            f"{state_dir}/lines_compacted/through={through}"
-        )
-        merged_doms = spark.read.parquet(
-            f"{state_dir}/domains_compacted/through={through}"
-        )
+        # explicit schema: zero-file snapshots must read back empty,
+        # not wedge on inference (see _history_state)
+        merged_lines = spark.read.schema(
+            "domain string, h1 long, h2 long, line_docs long"
+        ).parquet(f"{state_dir}/lines_compacted/through={through}")
+        merged_doms = spark.read.schema(
+            "domain string, domain_docs long"
+        ).parquet(f"{state_dir}/domains_compacted/through={through}")
     cand = merged_lines.filter(F.col("line_docs") > cfg.boiler_min_docs)
     confirmed = (
         _line_hashes(line_docs.select("domain", "para"))

@@ -991,3 +991,71 @@ def test_banded_sig_state_replay_excludes_own_batch(spark, tmp_path):
     assert {r["url"] for r in h2r.collect()} == {"u0", "u1"}
     with pytest.raises(ValueError, match="watermark"):
         SJ._sig_state_banded(spark, state, 1, 1, list(range(8)), 8)
+
+
+def test_empty_history_compaction_never_wedges(spark, tmp_path):
+    """A compaction of an all-empty history legitimately writes a
+    zero-file snapshot and durably advances the watermark; the
+    snapshot read-back must come back as an empty frame (explicit
+    schema), not a schema-inference error that permanently wedges the
+    state dir every restart thereafter — in both layouts."""
+    # compact layout (spans)
+    state = str(tmp_path / "spans")
+    h = SJ._span_state(spark, state, batch_id=2, compact_every=1)
+    assert h.count() == 0
+    with open(state + "/COMPACTED_THROUGH") as f:
+        assert f.read().strip() == "1"
+    # replay and later batches keep working against the empty snapshot
+    assert SJ._span_state(spark, state, 2, 1).count() == 0
+    assert SJ._span_state(spark, state, 3, 1).count() == 0
+    # banded layout (sigs)
+    state2 = str(tmp_path / "sigs")
+    hb = SJ._sig_state_banded(spark, state2, batch_id=2, compact_every=1,
+                              batch_buckets=[0, 1], store_buckets=8)
+    assert hb.count() == 0
+    assert SJ._sig_state_banded(spark, state2, 3, 1, [0, 1], 8).count() == 0
+
+
+def test_sig_store_buckets_validation(spark, tmp_path):
+    """0 (and negatives) would pin the marker while _process silently
+    ran the compact layout — rejected at setup."""
+    for bad in (0, -8):
+        with pytest.raises(ValueError, match="sig_store_buckets"):
+            SJ.stream_curate(
+                spark, str(tmp_path / "in"), str(tmp_path / "out"),
+                str(tmp_path / "ck"), CurateConfig(near_dedup=True),
+                sig_state_dir=str(tmp_path / "sig"),
+                sig_store_buckets=bad,
+            )
+
+
+def test_process_failure_releases_caches(spark, tmpdirs):
+    """A trigger that fails INSIDE the state machinery (watermark
+    mismatch after its docs/signature frames were persisted and
+    materialized) must release every frame it pinned: the persists
+    happen before the failure point, so the finally has to cover the
+    state reads, not only curate + commit."""
+    import datetime
+
+    in_dir, out_dir, ckpt, state = tmpdirs
+    cfg = CurateConfig(num_buckets=4, near_dedup=True,
+                       near_dedup_mode="neighbor")
+    sig_dir = state + "/sigstate"
+    rows = [("https://x.example.com/a", datetime.datetime(2023, 1, 1),
+             None, "helt vanligt innehåll i en enda mening här", "sv")]
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    # sabotage: a watermark far ahead of any batch id this stream can
+    # reach → _sig_state_banded's guard raises mid-_process
+    import os
+    os.makedirs(sig_dir, exist_ok=True)
+    with open(sig_dir + "/COMPACTED_THROUGH", "w") as f:
+        f.write("99")
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    q = SJ.stream_curate(spark, in_dir, out_dir, ckpt, cfg,
+                         sig_state_dir=sig_dir, sig_store_buckets=8)
+    with pytest.raises(Exception, match="watermark"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+    assert jsc.getPersistentRDDs().size() == baseline
