@@ -448,7 +448,16 @@ def _span_state(spark: SparkSession, state_dir: str, batch_id: int,
     itself), and a replayed batch sees exactly the history its first
     attempt saw. Unlike boiler counts (which must include the current
     batch), first-occurrence dedup wants strictly-prior state, so the
-    exclusive read is the semantics, not just crash hygiene."""
+    exclusive read is the semantics, not just crash hygiene.
+
+    Scale note: like the signature store, the span join scans the
+    whole store per trigger; the same snapshot-bucketing evolution
+    applies verbatim (_sig_state_banded is the template — partition
+    snapshots by pmod(h1, N), push the batch's h1-bucket set down).
+    One difference in when it pays: a batch's spans (~50/doc) cover
+    far more buckets than its 8 band keys, so pruning only bites for
+    trickle batches or very large N — which is exactly the
+    incremental-crawl shape this store serves."""
     return _history_state(
         spark, state_dir, batch_id, compact_every,
         sub="spans", schema="h1 long, h2 long", cols=["h1", "h2"],
