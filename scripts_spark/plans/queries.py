@@ -3508,14 +3508,18 @@ def pdf_page_locate(spark, sf_dir):
 # (J family keeps 6 slots), orders_ratio, coverage_tolerance
 # (extrema_by_nation keeps scalar aggs), predicate_filters
 # (props_nonempty_share keeps P5-P10), doc_stats (pricing_summary
-# keeps grouped sums).
+# keeps grouped sums). Late-round-6 swap: minhash_lsh_pairs (driver-
+# green since r1; MinHash family keeps simhash_pairs, dedup_groups,
+# bucketed_near_pairs) makes room for history_near_losers — the
+# cross-batch signature-estimate arithmetic as a value-oracle'd batch
+# query (until now it had only rows-only streaming evidence).
 DRIVER_WINDOW = [
     # flagship quality-filter / scoring path
     "quality_filter", "lang_mismatch", "doc_scoring", "boiler_headers",
     "gopher_rules", "benchmark_contamination",
     # dedup family (exact, groups, MinHash-LSH, SimHash, id audit,
     # cross-corpus paragraph dedup exact + hashed twin, Gopher spans)
-    "exact_dedup", "dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
+    "exact_dedup", "dedup_groups", "history_near_losers", "simhash_pairs",
     "duplicate_id_audit", "paragraph_dedup", "paragraph_dedup_fast",
     "dup_span_stats",
     # similarity / embeddings (banded-LSH scale path, IVF, JL projection)
@@ -4676,6 +4680,119 @@ def approx_distinct_tolerance(spark, sf_dir):
         "n_exact",
         (F.abs(F.col("_n_hll") - F.col("n_exact")) * 100
          <= F.col("n_exact") * 5).alias("approx_ok"),
+    )
+
+
+# ===== batch 8 (round 6): cross-batch history estimate, oracle-paired ==
+
+@q(
+    "history_near_losers",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0|' || shingle)) AS m0, MIN(md5('1|' || shingle)) AS m1,
+             MIN(md5('2|' || shingle)) AS m2, MIN(md5('3|' || shingle)) AS m3,
+             MIN(md5('4|' || shingle)) AS m4, MIN(md5('5|' || shingle)) AS m5,
+             MIN(md5('6|' || shingle)) AS m6, MIN(md5('7|' || shingle)) AS m7
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || m1) AS key FROM sig UNION ALL
+      SELECT doc_id, 1 AS band, md5(m2 || m3) AS key FROM sig UNION ALL
+      SELECT doc_id, 2 AS band, md5(m4 || m5) AS key FROM sig UNION ALL
+      SELECT doc_id, 3 AS band, md5(m6 || m7) AS key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS h_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
+    m AS (
+      SELECT c.doc_id, c.h_id,
+             ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT
+            + (sa.m2 = sb.m2)::INT + (sa.m3 = sb.m3)::INT
+            + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT
+            + (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_id
+      JOIN sig sb ON sb.doc_id = c.h_id)
+    SELECT doc_id, MIN(h_id) AS near_dup_of
+    FROM m WHERE n_match * 5 >= 4 * 8
+    GROUP BY doc_id
+    """,
+)
+def history_near_losers(spark, sf_dir):
+    """Cross-batch near-dup HISTORY estimate as a value-oracle'd batch
+    query: docs with doc_id % 3 == 0 play the signature STORE (prior
+    crawl drops), the rest play the current batch, and a batch doc
+    loses when its MinHash signature matches a stored one on >=
+    num/den of the components after a band-key candidate join — the
+    EXACT arithmetic streaming's sig_state path runs per trigger
+    (plans/pipeline._near_dup_losers history side: band equi-join →
+    component count → integer cross-multiplication → min-survivor),
+    which until now had only rows-only streaming evidence. Hash family
+    is the md5-string one shared with minhash_lsh_pairs so DuckDB
+    reproduces it bit-for-bit; production uses xxhash64 longs
+    (operators/dedup.signature_with_bands), same shape: the exchange
+    carries 8 signature columns + 4 band keys per doc, candidates are
+    an equi-join, and the verdict is exact integer math — no text and
+    no floats cross any boundary."""
+    d = T(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(8)
+        ]
+    )
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cb = bands.filter(F.col("doc_id") % 3 != 0)
+    hb = bands.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("h_id"), "band", "key"
+    )
+    cand = cb.join(hb, ["band", "key"]).select("doc_id", "h_id").distinct()
+    sa = sig.select(
+        F.col("doc_id").alias("_a_id"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("_b_id"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(8)],
+    )
+    m = None
+    for i in range(8):
+        e = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        m = e if m is None else m + e
+    scored = (
+        cand.join(sa, F.col("doc_id") == F.col("_a_id"))
+        .join(sb, F.col("h_id") == F.col("_b_id"))
+        .select("doc_id", "h_id", m.alias("n_match"))
+    )
+    # integer cross-multiplication, never a float compare: lose when
+    # matching components >= (num/den) * num_hashes = (4/5) * 8
+    return (
+        scored.filter(F.col("n_match") * 5 >= F.lit(4 * 8))
+        .groupBy("doc_id")
+        .agg(F.min("h_id").alias("near_dup_of"))
     )
 
 

@@ -119,7 +119,7 @@ def test_driver_window_covers_critical_operators():
     assert first50 == Q.DRIVER_WINDOW
     critical = {
         "quality_filter", "lang_mismatch", "doc_scoring", "boiler_headers",
-        "dedup_groups", "minhash_lsh_pairs", "simhash_pairs", "ivf_assign",
+        "dedup_groups", "history_near_losers", "simhash_pairs", "ivf_assign",
         "random_projection", "fuzzy_cascade", "containment_pages",
         "asof_join_purchases", "gold_decade_rollup", "section_lifecycle",
         "rollup_order_totals", "metrics_rollup", "normalize_ws",
