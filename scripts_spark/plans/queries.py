@@ -4757,40 +4757,48 @@ def history_near_losers(spark, sf_dir):
             for i in range(8)
         ]
     )
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("key"),
+    # ONE projection carries the signature array AND the band keys —
+    # signature_with_bands' shape — then bands come from a posexplode.
+    # A first cut built bands as a 4-way union of per-band projections
+    # and re-joined the sig table twice for the component count: the
+    # executedPlan showed 10 parquet scans / 10 shingle explodes (each
+    # union branch and each join side recomputed the signature agg —
+    # at crawl scale that signs the corpus ten times). This shape has
+    # exactly 2 consumers of the agg subtree.
+    rows = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(8)]).alias("sig"),
+        F.array(
+            *[
+                F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")))
+                for b in range(4)
+            ]
+        ).alias("bks"),
+    )
+    cb = rows.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "sig", F.posexplode("bks").alias("band", "key")
+    )
+    hb = rows.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("h_id"),
+        F.col("sig").alias("h_sig"),
+        F.posexplode("bks").alias("band", "key"),
+    )
+    cand = (
+        cb.join(hb, ["band", "key"])
+        .select("doc_id", "sig", "h_id", "h_sig")
+        .distinct()
+    )
+    m = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("h_sig"), lambda a, b: a == b),
+            lambda x: x,
         )
-        bands = part if bands is None else bands.unionByName(part)
-    cb = bands.filter(F.col("doc_id") % 3 != 0)
-    hb = bands.filter(F.col("doc_id") % 3 == 0).select(
-        F.col("doc_id").alias("h_id"), "band", "key"
-    )
-    cand = cb.join(hb, ["band", "key"]).select("doc_id", "h_id").distinct()
-    sa = sig.select(
-        F.col("doc_id").alias("_a_id"),
-        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(8)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("_b_id"),
-        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(8)],
-    )
-    m = None
-    for i in range(8):
-        e = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
-        m = e if m is None else m + e
-    scored = (
-        cand.join(sa, F.col("doc_id") == F.col("_a_id"))
-        .join(sb, F.col("h_id") == F.col("_b_id"))
-        .select("doc_id", "h_id", m.alias("n_match"))
     )
     # integer cross-multiplication, never a float compare: lose when
     # matching components >= (num/den) * num_hashes = (4/5) * 8
     return (
-        scored.filter(F.col("n_match") * 5 >= F.lit(4 * 8))
+        cand.withColumn("n_match", m)
+        .filter(F.col("n_match") * 5 >= F.lit(4 * 8))
         .groupBy("doc_id")
         .agg(F.min("h_id").alias("near_dup_of"))
     )

@@ -594,3 +594,19 @@ def test_approx_distinct_sketch_merges_map_side(spark):
     )
     assert len(group_only) == 1, plan
     assert not dragged, plan
+
+
+def test_history_near_losers_signs_each_doc_once(spark):
+    """The history-estimate query must not recompute the signature
+    aggregation per consumer: the doc_id % 3 split pushes below each
+    side's aggregate, so the two agg subtrees sign DISJOINT halves of
+    the corpus (total signing work = one pass). The first-cut
+    union-of-bands + double sig re-join shape planned 10 parquet scans
+    — i.e., signed the corpus ten times."""
+    df = Q.REGISTRY["history_near_losers"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+    # every scan subtree carries its side's doc_id filter (pushed
+    # through the aggregate), so no subtree signs the whole corpus
+    f = _formatted(df)
+    assert f.count("Scan parquet") <= 4
