@@ -3536,8 +3536,8 @@ DRIVER_WINDOW = [
     # windows / sessions / document lifecycle
     "session_windows", "section_lifecycle", "merge_runs", "running_cursor",
     "tag_after_intro", "running_attribution", "date_interval_jaccard",
-    # scalar agg families
-    "extrema_by_nation",
+    # cross-batch span-store arithmetic (history twin)
+    "history_span_dedup",
     # rollups and orderings
     "rollup_order_totals", "cube_order_totals", "metrics_rollup",
     # projections / kernels / sources / pipeline utilities
@@ -4801,6 +4801,92 @@ def history_near_losers(spark, sf_dir):
         .filter(F.col("n_match") * 5 >= F.lit(4 * 8))
         .groupBy("doc_id")
         .agg(F.min("h_id").alias("near_dup_of"))
+    )
+
+
+@q(
+    "history_span_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)) AS idx,
+             toks
+      FROM t WHERE len(toks) > 0),
+    p2 AS (
+      SELECT doc_id, idx,
+             array_to_string(list_slice(toks, idx*8 + 1, idx*8 + 8), ' ') AS para
+      FROM p),
+    hist AS (SELECT DISTINCT md5(para) AS h FROM p2 WHERE doc_id % 3 = 0),
+    b AS (SELECT * FROM p2 WHERE doc_id % 3 <> 0),
+    firsts AS (
+      SELECT para, MIN(struct_pack(d := doc_id, i := idx)) AS first_occ
+      FROM b GROUP BY para),
+    k AS (
+      SELECT b.doc_id, b.idx, b.para,
+             (struct_pack(d := b.doc_id, i := b.idx) = f.first_occ
+              AND md5(b.para) NOT IN (SELECT h FROM hist)) AS kept
+      FROM b JOIN firsts f ON f.para = b.para)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY idx), '')
+             AS dedup_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def history_span_dedup(spark, sf_dir):
+    """Cross-batch PARAGRAPH dedup vs a span-hash store, as a
+    value-oracle'd batch query (the span analog of
+    history_near_losers): docs with doc_id % 3 == 0 play the span
+    STORE — prior crawl drops, reduced to distinct span hashes, never
+    strings — and the rest play the current batch, which drops every
+    span whose hash the store holds PLUS its own within-batch
+    non-first occurrences. That is exactly streaming's span_state
+    arithmetic (plans/pipeline._corpus_para_dedup with span_history:
+    hash-membership anti-check + first-occurrence window), previously
+    evidenced only by rows-only streaming tests. md5 is the portable
+    hash family here (DuckDB-identical); production carries the
+    128-bit (xxhash64, confirm) pair — same shape: the history side of
+    the join ships ~16 bytes/span, the batch side explodes once, and
+    the %3 split pushes below each subtree so no span is tokenized
+    twice."""
+    from scripts_spark.operators.dedup import _span_array
+    from scripts_spark.functions.text_kernel import tokens
+
+    d = T(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    spans = _span_array(t, 8)
+    p = d.filter(F.col("text").isNotNull() & (F.size(t) > 0)).select(
+        "doc_id", F.posexplode(spans).alias("idx", "para")
+    )
+    hist = (
+        p.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("para").alias("h"))
+        .distinct()
+    )
+    b = p.filter(F.col("doc_id") % 3 != 0)
+    occ = F.struct(F.col("doc_id").alias("d"), F.col("idx").alias("i"))
+    w = Window.partitionBy("para")
+    keep = (
+        b.withColumn("_first", occ == F.min(occ).over(w))
+        .join(hist, F.md5(F.col("para")) == F.col("h"), "left")
+        .withColumn("kept", F.col("_first") & F.col("h").isNull())
+    )
+    return keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("idx", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("dedup_text"),
     )
 
 

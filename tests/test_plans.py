@@ -610,3 +610,14 @@ def test_history_near_losers_signs_each_doc_once(spark):
     # through the aggregate), so no subtree signs the whole corpus
     f = _formatted(df)
     assert f.count("Scan parquet") <= 4
+
+
+def test_history_span_dedup_tokenizes_each_doc_once(spark):
+    """Span-store history twin: the %3 split pushes below each side's
+    subtree — ONE scan+explode for the store side (reduced to distinct
+    hashes), one for the batch side. No span is tokenized twice."""
+    df = Q.REGISTRY["history_span_dedup"](spark, SF)
+    f = _formatted(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", f)) <= 2, f
