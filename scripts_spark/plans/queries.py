@@ -228,6 +228,44 @@ _SHINGLE_SQL = """
 """
 
 
+
+
+def _md5_shingles3(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — doc-distinct whitespace 3-grams, THE
+    engine-portable shingle construction (Spark twin of _SHINGLE_SQL).
+    minhash_lsh_pairs, ngram_jaccard_pairs and history_near_losers all
+    build on this one definition, so the oracle-critical hash-family
+    INPUT can never fork between queries whose docstrings claim they
+    share it."""
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+
+
+def _md5_sig8(sh: DataFrame) -> DataFrame:
+    """8 md5-string MinHash components per doc — the portable
+    signature family (_SHINGLE_SQL oracles' sig CTE), one definition
+    for every md5-family query."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(8)
+        ]
+    )
+
+
 @q(
     "minhash_lsh_pairs",
     f"""
@@ -263,27 +301,8 @@ def minhash_lsh_pairs(spark, sf_dir):
     is set-semantics, so min-over-set == min-over-multiset, and
     repetitive documents shed most of their hash work."""
     d = T(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(t) >= 3,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 3),
-                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
-            for i in range(8)
-        ]
-    )
+    sh = _md5_shingles3(d)
+    sig = _md5_sig8(sh)
     bands = None
     for b in range(4):
         part = sig.select(
@@ -345,21 +364,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     further before the exact intersection count verifies. Same final
     rows as the naive join — the filters are lossless."""
     d = T(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(t) >= 3,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 3),
-                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
-    )
+    sh = _md5_shingles3(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("shingle")
     pref = (
@@ -4736,27 +4741,8 @@ def history_near_losers(spark, sf_dir):
     an equi-join, and the verdict is exact integer math — no text and
     no floats cross any boundary."""
     d = T(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(t) >= 3,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 3),
-                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
-            for i in range(8)
-        ]
-    )
+    sh = _md5_shingles3(d)
+    sig = _md5_sig8(sh)
     # ONE projection carries the signature array AND the band keys —
     # signature_with_bands' shape — then bands come from a posexplode.
     # A first cut built bands as a 4-way union of per-band projections
@@ -4852,7 +4838,12 @@ def history_span_dedup(spark, sf_dir):
     128-bit (xxhash64, confirm) pair — same shape: the history side of
     the join ships ~16 bytes/span, the batch side explodes once, and
     the %3 split pushes below each subtree so no span is tokenized
-    twice."""
+    twice. Oracle-parity caveat (same as paragraph_dedup, which this
+    mirrors): the Spark side tokenizes via tokens() (normalize_ws
+    first) while the oracle uses raw str_split(text, ' ') — equivalent
+    on the fixture corpus, whose text is plain-single-space separated;
+    a corpus with tabs/NBSP/newlines would need the oracle moved to a
+    regexp split."""
     from scripts_spark.operators.dedup import _span_array
     from scripts_spark.functions.text_kernel import tokens
 
