@@ -4881,4 +4881,66 @@ def history_span_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "temperature_mix_sample",
+    """
+    WITH n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt
+      FROM n),
+    q AS (
+      SELECT source,
+             CAST(floor((500 * wt) / (SELECT SUM(wt) FROM w)) AS BIGINT)
+               AS quota
+      FROM w),
+    r AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR))) AS rk
+      FROM documents d)
+    SELECT r.source, r.doc_id
+    FROM r JOIN q ON q.source = r.source
+    WHERE r.rk <= q.quota
+    """,
+)
+def temperature_mix_sample(spark, sf_dir):
+    """Temperature-flattened source mixing (the multilingual-LM
+    alpha-sampling pattern, alpha = 0.5): a 500-doc training mix whose
+    per-source quotas are proportional to sqrt(n_docs) instead of
+    n_docs, so low-resource sources are upsampled relative to their
+    share and no source dominates. Every step is engine-exact:
+    weights are floor(sqrt(n)) of an exactly-representable BIGINT
+    (IEEE sqrt + floor, identical in any engine below 2^52 docs per
+    source — at larger counts switch the weight to an integer isqrt),
+    quotas are floor of one double division both engines compute from
+    the same two BIGINTs, and WHICH docs fill a quota is the md5 rank
+    order of the doc id (deterministic, append-stable for the already-
+    selected prefix, no RNG). Scale shape: two tiny aggregates (one
+    row per source) broadcast back; the only per-doc work is an
+    md5 + one rank window per source partition — and at 100 TB the
+    rank window swaps for the bucketed prefix-sum form
+    token_budget_sample already proves (top-rank-k per group via
+    md5-prefix bucketing), same answer."""
+    d = T(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_ = n.withColumn("wt", F.floor(F.sqrt("n_docs")).cast("long"))
+    tot = w_.agg(F.sum("wt").alias("z"))
+    q_ = w_.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor((F.lit(500) * F.col("wt")) / F.col("z")).cast("long").alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    )
+    r = d.select("doc_id", "source").withColumn("rk", rk)
+    return (
+        r.join(F.broadcast(q_), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id")
+    )
+
+
 _curate_order()
