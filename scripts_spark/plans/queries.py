@@ -3549,8 +3549,9 @@ DRIVER_WINDOW = [
     "token_positions", "normalize_ws", "uuid_ordinal_sort",
     "pdf_page_locate", "chunk_windows", "url_canonical",
     "langid_calibration", "dataset_split",
-    # model eval, sampling
-    "confusion_matrix", "weighted_sample",
+    # model eval, sampling, retrieval (confusion_matrix demoted:
+    # driver-green r4+r5, eval family kept by gold_decade_rollup)
+    "lexical_topk", "weighted_sample",
 ]
 
 
@@ -4940,6 +4941,101 @@ def temperature_mix_sample(spark, sf_dir):
         r.join(F.broadcast(q_), "source")
         .filter(F.col("rk") <= F.col("quota"))
         .select("source", "doc_id")
+    )
+
+
+@q(
+    "lexical_topk",
+    """
+    WITH q(qid, qtext) AS (VALUES
+      (1, 'hash join order'), (2, 'stream window batch'),
+      (3, 'filter slow merge')),
+    qt AS (
+      SELECT DISTINCT qid,
+             unnest(list_filter(str_split(qtext, ' '), x -> x <> '')) AS term
+      FROM q),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    tfq AS (
+      SELECT tf.* FROM tf WHERE tf.term IN (SELECT term FROM qt)),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+    sc AS (
+      SELECT qt.qid, tfq.doc_id,
+             CAST(SUM(tfq.tf * (1000000 // dfreq.df)) AS BIGINT) AS score
+      FROM qt JOIN tfq ON tfq.term = qt.term
+      JOIN dfreq ON dfreq.term = qt.term
+      GROUP BY qt.qid, tfq.doc_id),
+    r AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM sc)
+    SELECT qid, doc_id, score FROM r WHERE rk <= 5
+    """,
+)
+def lexical_topk(spark, sf_dir):
+    """Lexical top-k retrieval — the keyword-search sibling of the
+    embedding ANN family: for each query string, the 5 highest-scoring
+    documents under an integer tf-idf-style scorer (score = sum over
+    query terms of tf(term, doc) * floor(1e6 / df(term)) — rare terms
+    weigh more, and the weight is pure BIGINT math so any engine
+    reproduces it exactly; a float ln()-idf would diverge across libm
+    implementations in the last bits). Ties break on doc_id, so the
+    ranking is total and deterministic.
+
+    Scale shape: ONE tokenize+explode pass into a partial-agg'd
+    (doc, term) count; the query-term set (tiny) broadcast-prunes it
+    immediately, so document frequencies and scores aggregate over
+    query-term rows only — never a full posting list materialized.
+    Per-query top-5 is a rank window over the scored docs of that
+    query; at a 10^9-doc corpus swap it for a TakeOrderedAndProject
+    per qid (or the md5-prefix bucket trick token_budget_sample
+    proves) — same answer, no global sort."""
+    d = T(spark, sf_dir, "documents")
+    q_ = spark.createDataFrame(
+        [
+            (1, "hash join order"),
+            (2, "stream window batch"),
+            (3, "filter slow merge"),
+        ],
+        "qid int, qtext string",
+    )
+    qt = q_.select(
+        "qid",
+        F.explode(
+            F.array_distinct(F.filter(F.split("qtext", " "), lambda x: x != ""))
+        ).alias("term"),
+    ).distinct()
+    tok = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tfq = tf.join(F.broadcast(qt.select("term").distinct()), "term")
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sc = (
+        tfq.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.floor(F.lit(1000000) / F.col("df")).cast("long")
+            ).alias("score")
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    )
+    return (
+        sc.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select("qid", "doc_id", "score")
     )
 
 
