@@ -4918,8 +4918,11 @@ def temperature_mix_sample(spark, sf_dir):
     source — at larger counts switch the weight to an integer isqrt),
     quotas are floor of one double division both engines compute from
     the same two BIGINTs, and WHICH docs fill a quota is the md5 rank
-    order of the doc id (deterministic, append-stable for the already-
-    selected prefix, no RNG). Scale shape: two tiny aggregates (one
+    order of the doc id — deterministic, no RNG. (NOT append-stable:
+    new docs shift both quotas and ranks, so a re-run over a grown
+    corpus may swap members — use dataset_split's pure hash buckets
+    where old assignments must never change. Floor quotas also sum to
+    AT MOST the 500 budget, short by up to n_sources - 1.) Scale shape: two tiny aggregates (one
     row per source) broadcast back; the only per-doc work is an
     md5 + one rank window per source partition — and at 100 TB the
     rank window swaps for the bucketed prefix-sum form
@@ -4989,14 +4992,18 @@ def lexical_topk(spark, sf_dir):
     implementations in the last bits). Ties break on doc_id, so the
     ranking is total and deterministic.
 
-    Scale shape: ONE tokenize+explode pass into a partial-agg'd
-    (doc, term) count; the query-term set (tiny) broadcast-prunes it
-    immediately, so document frequencies and scores aggregate over
-    query-term rows only — never a full posting list materialized.
-    Per-query top-5 is a rank window over the scored docs of that
-    query; at a 10^9-doc corpus swap it for a TakeOrderedAndProject
-    per qid (or the md5-prefix bucket trick token_budget_sample
-    proves) — same answer, no global sort."""
+    Scale shape: ONE corpus scan — the exploded token stream is
+    broadcast-pruned by the (tiny) query-term set BEFORE any
+    aggregation, so the (doc, term) count and the document frequencies
+    exist only for query terms; df rides a count window over that
+    already-small frame rather than a second corpus pass. (A first cut
+    aggregated the full vocabulary and pruned after — the optimized
+    plan showed the scan+explode+aggregate subtree TWICE, once for tf
+    and once for df; plan-pinned single-scan now.) Per-query top-5 is
+    a rank window over the scored docs of that query; at a 10^9-doc
+    corpus swap it for a TakeOrderedAndProject per qid (or the
+    md5-prefix bucket trick token_budget_sample proves) — same
+    answer, no global sort."""
     d = T(spark, sf_dir, "documents")
     q_ = spark.createDataFrame(
         [
@@ -5008,25 +5015,22 @@ def lexical_topk(spark, sf_dir):
     )
     qt = q_.select(
         "qid",
-        F.explode(
-            F.array_distinct(F.filter(F.split("qtext", " "), lambda x: x != ""))
-        ).alias("term"),
-    ).distinct()
-    tok = d.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
+        F.explode(F.array_distinct(_tokens(F.col("qtext")))).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tfq = tf.join(F.broadcast(qt.select("term").distinct()), "term")
-    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tok = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tokq = tok.join(F.broadcast(qt.select("term").distinct()), "term")
+    tf = tokq.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
     sc = (
-        tfq.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", df_w)
+        .join(F.broadcast(qt), "term")
         .groupBy("qid", "doc_id")
         .agg(
-            F.sum(
-                F.col("tf") * F.floor(F.lit(1000000) / F.col("df")).cast("long")
-            ).alias("score")
+            F.sum(F.col("tf") * F.floor(F.lit(1000000) / F.col("df"))).alias(
+                "score"
+            )
         )
     )
     rk = F.row_number().over(

@@ -638,3 +638,21 @@ def test_history_span_dedup_tokenizes_each_doc_once(spark):
     n, pushed = _scans_with_pushed_mod3(_plan(df))
     assert n <= 2, n
     assert pushed == n, (n, pushed)
+
+
+def test_lexical_topk_single_corpus_scan(spark):
+    """Retrieval must broadcast-prune the token stream by the query
+    terms BEFORE any aggregation and derive df from the pruned frame:
+    exactly one documents scan in the plan. The first cut aggregated
+    the full vocabulary twice (tf and df subtrees) — two corpus
+    passes."""
+    df = Q.REGISTRY["lexical_topk"](spark, SF)
+    plan = _plan(df)
+    import re
+
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert len(scans) == 1, plan
+    assert "BroadcastHashJoin" in plan
