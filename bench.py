@@ -515,19 +515,9 @@ def _sig_store_block(spark) -> dict:
     d = cur.select(
         "url", F.array(F.lit("kort text i proben")).alias("kept_paras")
     )
-    bb = [
-        r["b"]
-        for r in cur.select(
-            F.explode(
-                F.transform(
-                    "bks",
-                    lambda k: F.pmod(k, F.lit(buckets)).cast("int"),
-                )
-            ).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
+    # the production bucket function and batch-bucket collect — the
+    # seeded store must bucket exactly like the real store writer
+    bb = SJ._batch_buckets(cur, buckets)
     res: dict = {
         "batch_docs": n_batch, "store_buckets": buckets,
         "batch_buckets_touched": len(bb),
@@ -553,9 +543,7 @@ def _sig_store_block(spark) -> dict:
             try:
                 store.write.parquet(f"{cdir}/sigs_compacted/through=0")
                 SJ._advance_watermark(cdir, 0)
-                bucket = F.pmod(
-                    F.col("band_key"), F.lit(buckets)
-                ).cast("int")
+                bucket = SJ.sig_bucket_col(F.col("band_key"), buckets)
                 (
                     store.select(
                         "url", "sig",

@@ -519,13 +519,14 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
     if sig_history is None:
         return batch_losers
     cb = cur.select("url", "sig", F.posexplode("bks").alias("band", "band_key"))
-    if "bks" in sig_history.columns:
+    hcols = set(sig_history.columns)
+    if hcols == {"url", "sig", "bks"}:
         hb = sig_history.select(
             F.col("url").alias("h_url"),
             F.col("sig").alias("h_sig"),
             F.posexplode("bks").alias("band", "band_key"),
         )
-    else:
+    elif hcols == {"url", "sig", "band", "band_key"}:
         # pre-exploded history — the band-key-partitioned store read
         # (streaming/jobs._sig_state_banded) hands rows back as
         # (url, sig, band, band_key), already pruned to the buckets
@@ -534,6 +535,14 @@ def _near_dup_losers(d: DataFrame, cfg: CurateConfig,
             F.col("url").alias("h_url"),
             F.col("sig").alias("h_sig"),
             "band", "band_key",
+        )
+    else:
+        # layout dispatch is by EXACT column set: a frame that merely
+        # contains one shape plus extras would silently take the wrong
+        # branch (double-explode or mis-join) — refuse instead
+        raise ValueError(
+            "sig_history must be compact (url, sig, bks) or exploded "
+            f"(url, sig, band, band_key) rows; got {sorted(hcols)}"
         )
     # no self-url exclusion: history is strictly prior batches, so a
     # same-url hit is a RECRAWL of already-corpus content — stale under

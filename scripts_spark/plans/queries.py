@@ -3511,13 +3511,18 @@ def pdf_page_locate(spark, sf_dir):
 # the scale path), ann_topk (ivf_assign keeps ANN), doc_fingerprint,
 # customers_no_orders, parts_semi, interval_tier_join, intro_join
 # (J family keeps 6 slots), orders_ratio, coverage_tolerance
-# (extrema_by_nation keeps scalar aggs), predicate_filters
+# (scalar aggs kept by pricing_summary/props_nonempty_share/
+# value_quantiles), predicate_filters
 # (props_nonempty_share keeps P5-P10), doc_stats (pricing_summary
 # keeps grouped sums). Late-round-6 swap: minhash_lsh_pairs (driver-
 # green since r1; MinHash family keeps simhash_pairs, dedup_groups,
 # bucketed_near_pairs) makes room for history_near_losers — the
 # cross-batch signature-estimate arithmetic as a value-oracle'd batch
-# query (until now it had only rows-only streaming evidence).
+# query (until now it had only rows-only streaming evidence);
+# history_span_dedup (the span-store analog) for extrema_by_nation
+# (driver-green r4+r5); lexical_topk (integer tf-idf retrieval, a new
+# family) for confusion_matrix (driver-green r4+r5, eval family kept
+# by gold_decade_rollup).
 DRIVER_WINDOW = [
     # flagship quality-filter / scoring path
     "quality_filter", "lang_mismatch", "doc_scoring", "boiler_headers",

@@ -195,6 +195,12 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                 )
             sig_hist = None
             if sig_state_dir is not None:
+                # fail fast on a mismatched/compacted-ahead store
+                # BEFORE paying the dominant per-batch cost below —
+                # the state reads re-check this, but by then the whole
+                # batch would already be signed and materialized on
+                # every doomed restart attempt
+                _guard_watermark(sig_state_dir, "sigs", batch_id)
                 # sign the batch ONCE: the same (url, sig, bks) rows
                 # serve curate's history comparison (and, with
                 # para_dedup off, its in-batch candidates) AND the
@@ -206,21 +212,7 @@ def stream_curate(spark: SparkSession, input_dir: str, out_dir: str,
                     # partition pruning; driver-side collect is bounded
                     # by sig_store_buckets distinct ints, never by
                     # batch size
-                    bb = [
-                        r["b"]
-                        for r in sig_cur.select(
-                            F.explode(
-                                F.transform(
-                                    "bks",
-                                    lambda k: F.pmod(
-                                        k, F.lit(sig_store_buckets)
-                                    ).cast("int"),
-                                )
-                            ).alias("b")
-                        )
-                        .distinct()
-                        .collect()
-                    ]
+                    bb = _batch_buckets(sig_cur, sig_store_buckets)
                     sig_hist = _sig_state_banded(
                         spark, sig_state_dir, batch_id, sig_compact_every,
                         bb, sig_store_buckets,
@@ -490,6 +482,32 @@ def _sig_state(spark: SparkSession, state_dir: str, batch_id: int,
     )
 
 
+def sig_bucket_col(band_key: "F.Column | str", store_buckets: int):
+    """THE bucket function of the banded signature store:
+    pmod(band_key, N) as int. One definition — the snapshot writer,
+    the per-trigger batch-bucket collect, and the bench's seeded
+    stores must all bucket identically, or partition pruning silently
+    reads the wrong buckets and cross-batch near-dups vanish with no
+    error (the drift class SIG_PARAMS exists to catch for the hash
+    params; the bucket function is pinned by sharing code instead)."""
+    return F.pmod(band_key, F.lit(store_buckets)).cast("int")
+
+
+def _batch_buckets(sig_rows: DataFrame, store_buckets: int) -> list[int]:
+    """The distinct snapshot buckets a batch's (url, sig, bks) rows
+    can match — ≤ store_buckets ints, safe to collect driver-side."""
+    return [
+        r["b"]
+        for r in sig_rows.select(
+            F.explode(
+                F.transform("bks", lambda k: sig_bucket_col(k, store_buckets))
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
 def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
                       compact_every: int | None, batch_buckets: list[int],
                       store_buckets: int) -> DataFrame:
@@ -518,7 +536,7 @@ def _sig_state_banded(spark: SparkSession, state_dir: str, batch_id: int,
     exploded_schema = (
         "url string, sig array<bigint>, band int, band_key long, bucket int"
     )
-    bucket = F.pmod(F.col("band_key"), F.lit(store_buckets)).cast("int")
+    bucket = sig_bucket_col(F.col("band_key"), store_buckets)
     if _has_batch_partitions(state_dir, sub):
         tail = (
             spark.read.parquet(f"{state_dir}/{sub}")

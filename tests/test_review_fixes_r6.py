@@ -129,3 +129,22 @@ def test_near_dup_losers_reuses_cur_sig_rows(spark):
               for r in _near_dup_losers(d, cfg, sig_history=hist,
                                         cur_sig_rows=fake).collect()}
     assert losers == {"https://a.se/3": "https://old.se/x"}
+
+
+def test_near_dup_losers_rejects_unknown_history_layout(spark):
+    """Layout dispatch is by exact column set — a history frame that
+    merely CONTAINS one shape plus extras must be refused, not
+    silently routed to the wrong branch."""
+    from scripts_spark.plans.pipeline import _near_dup_losers
+
+    cfg = CurateConfig(near_dedup=True, near_dedup_mode="neighbor")
+    d = spark.createDataFrame(
+        [("https://a.se/1", ["lite text i ett dokument här"])],
+        "url string, kept_paras array<string>",
+    )
+    bad = spark.createDataFrame(
+        [], "url string, sig array<bigint>, bks array<bigint>, band int, "
+            "band_key long",
+    )
+    with pytest.raises(ValueError, match="compact .* or exploded"):
+        _near_dup_losers(d, cfg, sig_history=bad)
