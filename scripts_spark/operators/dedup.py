@@ -13,19 +13,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from scripts_spark.functions.text_kernel import tokens
+from scripts_spark.functions.text_kernel import bind_once, tokens
 
 
 def word_shingles(text_col: Column, k: int = 3) -> Column:
-    """Array of k-word shingles in document order (empty if < k words)."""
-    t = tokens(text_col)
-    return F.when(
-        F.size(t) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - k),
-            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Array of k-word shingles in document order (empty if < k words).
+
+    The token array is bound ONCE per row (bind_once): the per-element
+    slice otherwise re-runs the whole normalize+split tokenizer for
+    every shingle (r7 measurement: 20x on the shingle explode)."""
+    return bind_once(
+        tokens(text_col),
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def exact_duplicates(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
@@ -40,9 +46,14 @@ def _span_array(t: Column, span: int) -> Column:
     """Consecutive ``span``-token paragraphs of a token array, in
     document order (shared by the exact and hashed dedup forms so the
     paragraph unit cannot drift between them)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
-        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
+    # bind t once per row: the per-span slice otherwise re-tokenizes
+    # the document for every span (r7, same fix as word_shingles)
+    return bind_once(
+        t,
+        lambda tt: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(tt) / span).cast("long") - 1),
+            lambda i: F.array_join(F.slice(tt, i * span + 1, span), " "),
+        ),
     )
 
 

@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from scripts_spark.functions import text_kernel
+
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -237,21 +239,22 @@ def _md5_shingles3(d: DataFrame) -> DataFrame:
     build on this one definition, so the oracle-critical hash-family
     INPUT can never fork between queries whose docstrings claim they
     share it."""
-    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(t) >= 3,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 3),
-                        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
+    # bind_once: without it every t[i] reference re-evaluates the
+    # split/filter chain per element — measured 59.7s → 2.4s for this
+    # explode alone at 50k docs (r7, guide §1.2)
+    sh = text_kernel.bind_once(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+        lambda t: F.when(
+            F.size(t) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
+    return d.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def _md5_sig8(sh: DataFrame) -> DataFrame:
@@ -357,50 +360,97 @@ def minhash_lsh_pairs(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """3-gram Jaccard near-dup join, threshold 0.8 (integer compare),
-    with ppjoin-style PREFIX FILTERING: for J ≥ 0.8 two shingle sets
-    must collide inside each other's |S| - ceil(0.8|S|) + 1 smallest
-    shingles (global order), so the self-join runs on ~20% of the
-    rows; a size-compatibility check (min·9 ≥ (sa+sb)·4) prunes
-    further before the exact intersection count verifies. Same final
-    rows as the naive join — the filters are lossless."""
+    with ppjoin-style PREFIX + POSITIONAL FILTERING and an array-side
+    verify. Same final rows as the oracle's naive formulation — every
+    filter is lossless for J ≥ 0.8, and the verify is the exact
+    intersection count.
+
+    Round-7 physical form (guide §2.3/§2.4; r6 plan measured 2.6M-row
+    window + 350M-row exploded verify join, 56-76s at 50k docs —
+    this plan 14-16s in the same windows, bit-identical output):
+    - the per-doc shingle SET is built array-side in one codegen pass
+      (no explode), so prefix extraction is slice(array_sort(shs)) —
+      the row_number window over the exploded corpus and its sizes
+      join are gone (2 exchanges removed);
+    - the small (doc_id, shs) frame is spread over 2x defaultParallelism
+      partitions right after the scan: the input is a handful of
+      parquet splits, and every downstream operator (pair join,
+      verify) is otherwise serialized on the scan's partition count —
+      scale-adaptive, derived from the session's core count;
+    - prefix-filter theorem: for J ≥ t, two sets must share an element
+      within each one's |S| - ceil(t·|S|) + 1 smallest shingles under
+      ANY fixed global total order (the oracle states it for the
+      lexicographic order; this plan uses the same order);
+    - positional filter (ppjoin): a pair colliding at 1-based sorted
+      positions (pa, pb) has overlap ≤ 1 + min(sz_a-pa, sz_b-pb);
+      J ≥ 0.8 needs overlap ≥ 4(sz_a+sz_b)/9, so occurrences failing
+      9·ubound < 4·(sz_a+sz_b) can't certify a true pair — and a true
+      pair's FIRST shared prefix shingle always passes (all its common
+      shingles sort at-or-after it). The size-compatibility check
+      (min·9 ≥ (sa+sb)·4) rides the same join condition;
+    - verify = size(array_intersect(shs_a, shs_b)) on arrays attached
+      by doc-keyed joins (broadcast at bench scale, SMJ beyond) —
+      replaces the exploded pair×shingle join + re-aggregation, the
+      r6 plan's dominant stage."""
     d = T(spark, sf_dir, "documents")
-    sh = _md5_shingles3(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy("doc_id").orderBy("shingle")
-    pref = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.floor((4 * F.col("sz") + 4) / 5).cast("long") + 1
-        )
-        .select("doc_id", "shingle")
+    arr = text_kernel.bind_once(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+        lambda t: F.when(
+            F.size(t) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    n_spread = d.sparkSession.sparkContext.defaultParallelism * 2
+    docs = (
+        d.select("doc_id", arr.alias("shs"))
+        .filter(F.size("shs") > 0)
+        .repartition(n_spread)
+    )
+    sz = F.size("shs")
+    pref_len = sz - F.floor((4 * sz + 4) / 5).cast("int") + 1
+    pref = docs.select(
+        "doc_id",
+        sz.alias("sz"),
+        F.posexplode(F.slice(F.array_sort("shs"), F.lit(1), pref_len)).alias(
+            "p", "shingle"
+        ),
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    sz_sum = F.col("a.sz") + F.col("b.sz")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.p") - 1, F.col("b.sz") - F.col("b.p") - 1
+    )
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.sz"), F.col("b.sz")) * 9 >= sz_sum * 4)
+            & (overlap_ub * 9 >= sz_sum * 4),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    cand2 = (
-        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+    A = docs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    B = docs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        cand.join(A, "doc_a")
+        .join(B, "doc_b")
+        .withColumn("size_a", F.size("shs_a").cast("long"))
+        .withColumn("size_b", F.size("shs_b").cast("long"))
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")).cast("long"))
         .filter(
-            F.least("size_a", "size_b") * 9 >= (F.col("size_a") + F.col("size_b")) * 4
+            F.col("n_common") * 10
+            >= (F.col("size_a") + F.col("size_b") - F.col("n_common")) * 8
         )
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
     )
-    sh_a = sh.withColumnRenamed("doc_id", "doc_a")
-    sh_b = sh.withColumnRenamed("doc_id", "doc_b")
-    common = (
-        cand2.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return common.filter(
-        F.col("n_common") * 10 >= (F.col("size_a") + F.col("size_b") - F.col("n_common")) * 8
-    ).select("doc_a", "doc_b", "n_common", "size_a", "size_b")
 
 
 # -------------------------------------------------- similarity (ANN)
@@ -1944,19 +1994,22 @@ def _trigram_scored(d: DataFrame) -> DataFrame:
     so consumers that need extra columns (calibration needs the label)
     score in the SAME scan instead of joining documents back to itself
     on its own key."""
-    t = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not an
     # empty array — an empty text must produce zero trigrams like the
-    # oracle's generate_series does
-    tri = F.when(
-        F.length(t) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: F.substr(t, i, F.lit(3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # oracle's generate_series does. bind_once: each substr otherwise
+    # re-lowers/concats the whole text per trigram (r7).
+    tri = text_kernel.bind_once(
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+        lambda t: F.when(
+            F.length(t) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 2),
+                    lambda i: F.substr(t, i, F.lit(3)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     sv = F.array(*[F.lit(g) for g in _SV_TRI])
     en = F.array(*[F.lit(g) for g in _EN_TRI])
     d = d.withColumn(
@@ -3906,14 +3959,16 @@ def benchmark_contamination(spark, sf_dir):
         # len(toks) >= 8 guard, not an accident of current prompt
         # lengths (review r4: a 3-token prompt would otherwise emit a
         # truncated gram the oracle never produces)
-        toks = _tokens(col)
-        g = F.when(
-            F.size(toks) >= 8,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 8),
-                lambda s: F.array_join(F.slice(toks, s + 1, 8), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        g = text_kernel.bind_once(
+            _tokens(col),
+            lambda toks: F.when(
+                F.size(toks) >= 8,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 8),
+                    lambda s: F.array_join(F.slice(toks, s + 1, 8), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
         return g.alias(out)
 
     dg = (
@@ -4041,10 +4096,13 @@ def bigram_model_counts(spark, sf_dir):
     and becomes the next pipeline version's broadcast model."""
     d = T(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+    grams = text_kernel.bind_once(
+        t,
+        lambda tt: F.transform(
+            F.sequence(F.lit(1), F.size(tt) - 1),
+            lambda i: F.struct(
+                F.element_at(tt, i).alias("w1"), F.element_at(tt, i + 1).alias("w2")
+            ),
         ),
     )
     b = (
@@ -4290,9 +4348,12 @@ def dup_span_stats(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
     span = 8
-    spans = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(t) / span).cast("long") - 1),
-        lambda i: F.array_join(F.slice(t, i * span + 1, span), " "),
+    spans = text_kernel.bind_once(
+        t,
+        lambda tt: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(tt) / span).cast("long") - 1),
+            lambda i: F.array_join(F.slice(tt, i * span + 1, span), " "),
+        ),
     )
     p = (
         d.filter(F.col("text").isNotNull() & (F.size(t) > 0))
