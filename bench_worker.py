@@ -58,8 +58,12 @@ def plan_digest(df) -> str:
     # lambda variables (higher-order functions) are numbered by a
     # SESSION-GLOBAL counter — x_1 in a fresh session is x_7 after a
     # few queries — so the numeric suffix is noise too (after the
-    # #-normalization above they read like ``x_7#``)
-    s = re.sub(r"_\d+#", "_#", s)
+    # #-normalization above they read like ``lambda x_7#``). Scoped to
+    # the ``lambda <name>_N#`` token (r7, ADVICE fix): the old bare
+    # ``_\d+#`` also rewrote real attribute names ending in _<digits>
+    # (n2_1 vs a hypothetical n2_2), letting two genuinely different
+    # plans hash equal.
+    s = re.sub(r"(lambda [A-Za-z0-9$]+)_\d+#", r"\1_#", s)
     return hashlib.md5(s.encode()).hexdigest()[:16]
 
 

@@ -80,14 +80,17 @@ HTML_WS_STEPS: list[tuple[str, str]] = [
 def html_to_text(col: Column, from_binary: bool = False) -> Column:
     """Extract readable text from an HTML column per the module SPEC.
 
-    ``from_binary=True`` first decodes a ``binary`` column as UTF-8
+    ``from_binary=True`` reinterprets a ``binary`` column as a string
     (the input-hint shape stores pages as ``html: binary``) via
-    ``cast(binary as string)``, which substitutes U+FFFD for malformed
-    byte sequences instead of failing — real crawls routinely carry
-    mislabeled/latin-1 pages, and under Spark 4's default ANSI mode
-    ``decode(..., 'UTF-8')`` would abort the WHOLE job on the first
-    bad row (one poisoned page must cost one document, never the
-    batch).  Null html yields null text.
+    ``cast(binary as string)``. Spark's binary→string cast wraps the
+    bytes UNVALIDATED (UTF8String is byte-based): malformed sequences
+    pass through as raw bytes, NOT as U+FFFD replacements — but
+    crucially it never fails, whereas under Spark 4's default ANSI
+    mode ``decode(..., 'UTF-8')`` would abort the WHOLE job on the
+    first bad row (one poisoned page must cost one document, never
+    the batch). Mislabeled/latin-1 pages therefore produce raw-byte
+    text; add an explicit validate/transcode step upstream if
+    replacement semantics are required. Null html yields null text.
     """
     s = col.cast("string") if from_binary else col
     for pat, rep in HTML_REGEX_STEPS:

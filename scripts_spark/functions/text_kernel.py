@@ -102,18 +102,34 @@ _DOLLAR_2 = "^[0-9]{1,2} ?\\$"
 
 
 def dollar_signs(raw: Column) -> Column:
-    norm = normalize_ws(raw)
-    m1 = F.regexp_extract(norm, _DOLLAR_1, 0)
-    m2 = F.regexp_extract(norm, _DOLLAR_2, 0)
-    return (
-        F.when(norm.startswith("$"), F.replace(raw, F.lit("$"), F.lit("§")))
-        .when(
-            m1 != "",
-            F.replace(raw, m1, F.concat(F.lit("§"), F.substring(m1, 2, 2147483647))),
+    # norm and the two extracts are bound once per value (bind_once):
+    # this runs per PARAGRAPH inside an interpreted transform() lambda,
+    # where every reference otherwise re-runs the whole normalize_ws
+    # regex — measured ~5 normalizations per paragraph before r7
+    def _branches(norm: Column) -> Column:
+        def _apply(ms: Column) -> Column:
+            m1, m2 = ms[0], ms[1]
+            return (
+                F.when(norm.startswith("$"), F.replace(raw, F.lit("$"), F.lit("§")))
+                .when(
+                    m1 != "",
+                    F.replace(
+                        raw, m1, F.concat(F.lit("§"), F.substring(m1, 2, 2147483647))
+                    ),
+                )
+                .when(m2 != "", F.replace(raw, m2, F.replace(m2, F.lit("$"), F.lit("§"))))
+                .otherwise(raw)
+            )
+
+        return bind_once(
+            F.array(
+                F.regexp_extract(norm, _DOLLAR_1, 0),
+                F.regexp_extract(norm, _DOLLAR_2, 0),
+            ),
+            _apply,
         )
-        .when(m2 != "", F.replace(raw, m2, F.replace(m2, F.lit("$"), F.lit("§"))))
-        .otherwise(raw)
-    )
+
+    return bind_once(normalize_ws(raw), _branches)
 
 
 # Split-name OCR repair "PERS- SON" -> "PERSSON".

