@@ -51,12 +51,17 @@ def norm_token_array(text_col: Column) -> Column:
 
 
 def bigram_array(text_col: Column) -> Column:
-    toks = norm_token_array(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(-1)))
-    return F.when(n >= 2, F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))).otherwise(
-        F.array().cast("array<string>")
-    )
+    # bind_once: each toks[i] reference otherwise re-runs the whole
+    # tokenize+normalize chain per bigram element (r7, same fix as
+    # queries._md5_shingles3 — measured 20x there)
+    def _grams(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(-1)))
+        return F.when(
+            n >= 2, F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1]))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return text_kernel.bind_once(norm_token_array(text_col), _grams)
 
 
 def ppx_stats(docs: DataFrame, key: str = "url", text_col: str = "scrubbed_text") -> DataFrame:
