@@ -44,6 +44,26 @@ def _tokens(col):
     return F.filter(F.split(col, " "), lambda t: t != "")
 
 
+def _local_df(spark, rows, schema: str):
+    """Literal fixture rows as a LocalTableScan-backed frame (r7).
+
+    ``spark.createDataFrame(list, schema)`` plans as Scan ExistingRDD —
+    a pickled Python RDD in defaultParallelism slices, and every action
+    pays a Python-worker round trip PER SLICE (measured: a 4-row frame
+    collect()s in ~1.9s; the containment_pages cartesian over two such
+    frames spent ~20s of its 20.9s there — r7 sweep). Routing the same
+    rows through pandas + Arrow plans a pure-JVM LocalTableScan:
+    identical rows and types (the DDL schema binds positionally),
+    zero Python at execution time. dtype=object keeps None → NULL in
+    every column, including numeric ones."""
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=names, dtype=object), schema
+    )
+
+
 def _md5_hash32(col):
     """First 8 md5 hex chars as a long — the engine-portable uniform
     hash shared by the sampling / shuffling / split queries (DuckDB
@@ -722,7 +742,7 @@ def multival_arbitration(spark, sf_dir):
 def interval_tier_join(spark, sf_dir):
     """Interval (range) join against a broadcast dimension (SURVEY J2)."""
     ev = T(spark, sf_dir, "events")
-    tiers = ev.sparkSession.createDataFrame(
+    tiers = _local_df(ev.sparkSession, 
         [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")],
         "lo double, hi double, tier string",
     )
@@ -988,7 +1008,7 @@ _VERSIONS_SQL = ", ".join(f"('{v}')" for v in _VERSIONS)
 def semver_sort(spark, sf_dir):
     """Version-aware sort (SURVEY O4, accuracy_version_plot.py:39):
     split-cast (major, minor, patch) ordering, not lexicographic."""
-    df = spark.createDataFrame([(v,) for v in _VERSIONS], "version string")
+    df = _local_df(spark, [(v,) for v in _VERSIONS], "version string")
     parts = F.split(F.substring(F.col("version"), 2, 100), "\\.")
     w = Window.orderBy(
         parts[0].cast("int"), parts[1].cast("int"), parts[2].cast("int")
@@ -1047,7 +1067,7 @@ def fuzzy_token_match(spark, sf_dir):
     vocab = (
         d.select(F.explode(_tokens(F.col("text"))).alias("word")).distinct()
     )
-    dim = spark.createDataFrame([("table",), ("spark",), ("quer",)], "target string")
+    dim = _local_df(spark, [("table",), ("spark",), ("quer",)], "target string")
     return vocab.join(
         F.broadcast(dim), F.levenshtein(F.col("word"), F.col("target")) <= 1
     ).select("word", "target", F.levenshtein("word", "target").alias("dist"))
@@ -1215,18 +1235,33 @@ def embedding_near_pairs(spark, sf_dir):
     vec_id-range pair join with an array-side integer dot per pair —
     measured 24.1s vs 54.6s for the previous posexplode self-join at
     sf0.1 (2000 × 64-dim), which shuffled n²·dim exploded rows where
-    this shuffles n² pairs. Results bit-identical (same integer math)."""
+    this shuffles n² pairs. Results bit-identical (same integer math).
+
+    r7: the per-pair dot is an UNROLLED 64-term codegen expression
+    when both vectors have the table's fixed dim (the zip_with +
+    aggregate fold runs interpreted, per element, for every one of the
+    n² pairs — it was the whole cost of this query: 29.1s → measured
+    below). Vectors of any other length fall back to the identical
+    fold, so results match the old form on every input."""
     e = T(spark, sf_dir, "embeddings")
+    dim = 64
     q = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
     zero = F.lit(0).cast("long")
     n2 = F.aggregate(F.col("_q"), zero, lambda acc, v: acc + v * v)
     t = e.select("vec_id", q.alias("_q")).withColumn("_n2", n2)
     a, b = t.alias("a"), t.alias("b")
-    dot = F.aggregate(
+    dot_fold = F.aggregate(
         F.zip_with(F.col("a._q"), F.col("b._q"), lambda x, y: x * y),
         zero,
         lambda acc, v: acc + v,
     )
+    dot_unrolled = F.lit(0).cast("long")
+    for i in range(dim):
+        dot_unrolled = dot_unrolled + F.col("a._q")[i] * F.col("b._q")[i]
+    dot = F.when(
+        (F.size(F.col("a._q")) == dim) & (F.size(F.col("b._q")) == dim),
+        dot_unrolled,
+    ).otherwise(dot_fold)
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
@@ -1507,7 +1542,7 @@ def find_toc_status(spark, sf_dir):
     """W13 ToC extraction as an oracle'd query over a fixed element
     table covering the ok / missing_pb / no_toc branches
     (/root/reference/src/ToC/delimit-ToC_2014--.py:25-98)."""
-    segs = spark.createDataFrame(
+    segs = _local_df(spark, 
         _TOC_ROWS, "url string, pos long, elem_type string, text string"
     )
     return W.find_toc(segs).select("url", "pos", "elem_type", "status", "in_toc")
@@ -1569,8 +1604,8 @@ def intro_join(spark, sf_dir):
     three-branch join, then — only in the hyphen branch — the damaged
     ALLCAPS surname is looked up in a (broadcast) correction table and
     every ALLCAPS run replaced by ' ' + correction."""
-    pairs = spark.createDataFrame(_INTRO_ROWS, "pair_id string, t1 string, t2 string")
-    corr = spark.createDataFrame(_CORR_ROWS, "wrong string, correct string")
+    pairs = _local_df(spark, _INTRO_ROWS, "pair_id string, t1 string, t2 string")
+    corr = _local_df(spark, _CORR_ROWS, "wrong string, correct string")
     j = pairs.select(
         "pair_id",
         TK.join_intro_texts(F.col("t1"), F.col("t2")).alias("intro"),
@@ -1632,7 +1667,7 @@ def protocol_ids(spark, sf_dir):
     """Protocol-id surgery (replace_dates.py:20-23 build,
     segmentation_accuracy_estimate.py:77-86 zero-pad) + docDate regex
     rewrite (replace_dates.py:41-42) in one pass."""
-    src = spark.createDataFrame(
+    src = _local_df(spark, 
         _PROT_ROWS, "year string, id long, xml string, scraped string"
     )
     pid = TK.protocol_id_build(F.col("year"), F.col("id"))
@@ -1700,7 +1735,7 @@ def iort_split(spark, sf_dir):
     (generate_i-ort_testfile.py:15-47): '<surname> i <ort>[, senare
     <ort2>, <ort3> o <ort4> och <ort5>]' rows fan out to one row per
     (surname, ort), with 'åter ' prefixes stripped."""
-    src = spark.createDataFrame(_IORT_ROWS, "wiki_id string, s string")
+    src = _local_df(spark, _IORT_ROWS, "wiki_id string, s string")
     return src.select(
         "wiki_id", F.explode(TK.iort_pairs(F.col("s"))).alias("p")
     ).select("wiki_id", F.col("p.surname").alias("surname"), F.col("p.iort").alias("iort"))
@@ -1730,7 +1765,7 @@ _ROLE_SQL_ROWS = ", ".join(f"('{i}', '{r}', '{g}')" for i, r, g in _ROLE_ROWS)
 def role_gender(spark, sf_dir):
     """Role-extraction regex + 'Sveriges' strip + gender value map
     (wikidata_query.py:88,92,95)."""
-    src = spark.createDataFrame(_ROLE_ROWS, "rid string, role string, gender string")
+    src = _local_df(spark, _ROLE_ROWS, "rid string, role string, gender string")
     return src.select(
         "rid",
         TK.role_ledamot(F.col("role")).alias("role_ledamot"),
@@ -2132,7 +2167,7 @@ def section_lifecycle(spark, sf_dir):
     speaker-note presence, pre-intro utterance demotion, and first/last
     prev/next cleanup. One shuffle on url carries all four window
     passes (shared partitioning)."""
-    segs = spark.createDataFrame(
+    segs = _local_df(spark, 
         _SEG_ROWS,
         "url string, pos long, elem_type string, type_attr string,"
         " text string, prev string, next string",
@@ -2181,8 +2216,8 @@ def containment_pages(spark, sf_dir):
     sentences on pages by substring containment, keep only sentences
     found on exactly one distinct page (the reference's early-exit-at-2
     check has identical semantics)."""
-    sents = spark.createDataFrame(_SENT_ROWS, "sid string, sentence string")
-    pages = spark.createDataFrame(_PAGE_ROWS, "page string, page_text string")
+    sents = _local_df(spark, _SENT_ROWS, "sid string, sentence string")
+    pages = _local_df(spark, _PAGE_ROWS, "page string, page_text string")
     return J.containment_join_unique_page(sents, pages).select("sentence", "page")
 
 
@@ -2291,7 +2326,7 @@ def gold_decade_rollup(spark, sf_dir):
     quantiles come from plans/accuracy.beta_ppf on the tiny per-stratum
     aggregate (driver-side like the reference), broadcast-joined back as
     exact micro-unit integers."""
-    docs = spark.createDataFrame(
+    docs = _local_df(spark, 
         _GOLD_DOCS, "doc_id string, decade long, pred boolean, gold boolean"
     )
     dec = docs.select("doc_id", "decade", "pred")
@@ -2345,7 +2380,7 @@ def version_trend(spark, sf_dir):
     corpus totals + integer-milli accuracy, semver-ordered (O4 sort)
     with deltas vs the previous release. The production substrate is
     plans/stats.snapshot_trend over the commit-snapshot log."""
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         _REL_ROWS, "version string, n_protocols long, n_words long, acc_milli long"
     )
     return ST.version_trend(df)
@@ -2388,7 +2423,7 @@ def date_interval_jaccard(spark, sf_dir):
     (/root/reference/src/date_accuracy_estimate.py:36-50): inclusive
     day-interval Jaccard — the only doubles are divisions of exact
     day counts, so values hash identically across engines."""
-    df = spark.createDataFrame(
+    df = _local_df(spark, 
         _IVJ_ROWS, "id string, s1 string, e1 string, s2 string, e2 string"
     )
     return W.interval_jaccard(df, "s1", "e1", "s2", "e2").select(
@@ -2448,7 +2483,7 @@ def date_range_per_doc(spark, sf_dir):
     date is the LATER 1999-12-31) + W10 min/max range per protocol
     (/root/reference/src/first_date.py:14-18,
     date_accuracy_estimate.py:25-34)."""
-    segs = spark.createDataFrame(
+    segs = _local_df(spark, 
         _DATE_ROWS, "url string, pos long, elem_type string, when_attr string"
     )
     return W.first_date(segs).join(W.date_range(segs), "url")
@@ -2515,8 +2550,8 @@ def fuzzy_cascade(spark, sf_dir):
     the left_anti residue of earlier stages, so the expensive fuzzy
     stages scan the unmatched tail, not the full fact table — no
     per-row Python at any scale."""
-    facts = spark.createDataFrame(_FM_FACTS, "fact_id long, name string")
-    dim = spark.createDataFrame(_FM_DIM, "target string")
+    facts = _local_df(spark, _FM_FACTS, "fact_id long, name string")
+    dim = _local_df(spark, _FM_DIM, "target string")
     stages = [
         ("exact", F.col("name") == F.col("target")),
         ("lower", F.lower(F.col("name")) == F.lower(F.col("target"))),
@@ -2554,7 +2589,7 @@ def tag_after_intro(spark, sf_dir):
     """W7: the reference's one-step 'speaker' latch
     (classify_join_intros.py:44-52 — a flag set on the intro row and
     consumed by the very next element) as a single lag window."""
-    segs = spark.createDataFrame(
+    segs = _local_df(spark, 
         _LATCH_ROWS,
         "url string, pos long, elem_type string, type_attr string, text string",
     )
@@ -2732,7 +2767,7 @@ def corpus_stats(spark, sf_dir):
     protocols / pages (pb) / speeches (speaker notes) / words per
     protocol-year as ONE partial-agg'd groupBy (plans/stats.corpus_stats)
     instead of the reference's per-file XML walk."""
-    segs = spark.createDataFrame(
+    segs = _local_df(spark, 
         _CORPUS_ROWS,
         "url string, pos long, elem_type string, type_attr string, text string",
     )
@@ -2827,7 +2862,7 @@ def metrics_rollup(spark, sf_dir):
     every committed bucket (sources/catalog.partition_metrics)."""
     from scripts_spark.sources.catalog import partition_metrics
 
-    dec = spark.createDataFrame(
+    dec = _local_df(spark, 
         _MET_ROWS,
         "url string, bucket long, keep boolean, filter_reasons array<string>",
     )
@@ -3207,8 +3242,8 @@ def null_safe_join(spark, sf_dir):
     when absent attributes must pair up instead of dropping. Still a
     hash join (null-safe equality is a valid equi-join key), not a
     nested loop."""
-    left = spark.createDataFrame(_NSJ_LEFT, "id long, k string")
-    right = spark.createDataFrame(_NSJ_RIGHT, "k string, v long")
+    left = _local_df(spark, _NSJ_LEFT, "id long, k string")
+    right = _local_df(spark, _NSJ_RIGHT, "k string, v long")
     return left.join(right, left["k"].eqNullSafe(right["k"])).select(
         "id", left["k"].alias("k"), "v"
     )
@@ -3521,8 +3556,8 @@ def pdf_page_locate(spark, sf_dir):
     at the second hit — identical keep set). posexplode is the right
     tool here: pages are a per-document handful, so the explode factor
     is bounded, and the containment join broadcasts the sentence side."""
-    spark_d = spark.createDataFrame(_PDF_DOCS, "pdf_id string, text string")
-    sents = spark.createDataFrame(_PDF_SENTS, "sent_id string, sentence string")
+    spark_d = _local_df(spark, _PDF_DOCS, "pdf_id string, text string")
+    sents = _local_df(spark, _PDF_SENTS, "sent_id string, sentence string")
     pages = spark_d.select(
         "pdf_id", F.posexplode(F.split("text", "\f")).alias("p0", "page_text")
     ).select(
@@ -3940,7 +3975,7 @@ def benchmark_contamination(spark, sf_dir):
     Two deterministically planted contaminated docs (an eval prompt
     embedded mid-sentence) guarantee the overlap path is exercised at
     every scale factor — a 0-row pass would be weak evidence."""
-    ev = spark.createDataFrame(_EVAL_PROMPTS, "eval_id string, prompt string")
+    ev = _local_df(spark, _EVAL_PROMPTS, "eval_id string, prompt string")
     planted = ev.select(
         F.concat(F.lit("contam-"), F.col("eval_id")).alias("doc_id"),
         F.concat(
@@ -4158,7 +4193,7 @@ def value_quantiles(spark, sf_dir):
     r = v.withColumn("rn", F.row_number().over(w)).withColumn(
         "c", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
     )
-    ps = spark.createDataFrame([(500,), (900,), (990,)], "p_milli long")
+    ps = _local_df(spark, [(500,), (900,), (990,)], "p_milli long")
     rank = F.greatest(F.lit(1).cast("long"), F.expr("(c * p_milli + 999) div 1000"))
     return (
         r.join(F.broadcast(ps), how="cross")
@@ -5099,7 +5134,7 @@ def lexical_topk(spark, sf_dir):
     stop-word-ish query term cannot serialize the sort on one task
     (guide §2.5 two-level aggregation applied to top-k)."""
     d = T(spark, sf_dir, "documents")
-    q_ = spark.createDataFrame(
+    q_ = _local_df(spark, 
         [
             (1, "hash join order"),
             (2, "stream window batch"),
